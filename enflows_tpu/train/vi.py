@@ -1,0 +1,101 @@
+"""Flow-based variational inference: ELBO optimization.
+
+TPU-native redesign of /root/reference/examples/nf_variational_1d.jl
+(the reference keeps VI at example level; here it is a first-class trainer —
+SURVEY.md §2b "Whitening/VI optimizer" row). For base xi ~ N(0, I_dim) and
+transport z = f(xi):
+
+    ELBO = E[ log p~(f(xi)) + ladj(f, xi) ] + H[N(0, I_dim)]
+         = mean_n [ logp(z_n) + ladj_n ] + dim/2 * (log 2π + 1)
+
+The entropy term uses the *event* dimension — fixing the reference example's
+axis confusion (nf_variational_1d.jl:32-33 reads the batch axis as the
+dimension; harmless there only because dim == 1, flagged in SURVEY.md §2a).
+
+Antithetic sampling (xi, -xi) halves gradient variance exactly as in the
+reference (:57). Fresh base draws per step come from folding the step index
+into the RNG key inside `lax.scan` — the whole nsteps loop is one jit.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from ..bijectors.base import Bijector
+
+_LOG_2PI = 1.8378770664093453
+
+
+def neg_elbo(flow: Bijector, logdensity_fn: Callable, xi: jax.Array
+             ) -> jax.Array:
+    """Negative ELBO for transport ``flow`` against unnormalized logdensity.
+
+    xi: (n, dim) base-normal draws. Counterpart of nELBO (reference :25-36)
+    with the corrected entropy term.
+    """
+    z, ladj = flow.forward_and_ladj(xi)
+    n, dim = xi.shape
+    elbo = (jnp.sum(logdensity_fn(z)) + jnp.sum(ladj)) / n \
+        + 0.5 * (_LOG_2PI + 1.0) * dim
+    return -elbo
+
+
+class VIResult(NamedTuple):
+    result: Bijector
+    optimizer_state: Any
+    nelbo_history: jax.Array
+
+
+def optimize_elbo(
+    logdensity_fn: Callable,
+    initial_flow: Bijector,
+    optimizer: optax.GradientTransformation | None = None,
+    *,
+    dim: int,
+    batch_size: int = 100,
+    nsteps: int = 1000,
+    antithetic: bool = True,
+    key: jax.Array | None = None,
+    opt_state: Any = None,
+    nelbo_history: jax.Array | None = None,
+    dtype=jnp.float32,
+) -> VIResult:
+    """Fit a flow transport to an unnormalized log-density by ELBO ascent.
+
+    Counterpart of optimise_ELBO (reference :44-63): resumable opt_state,
+    spliced history, ADAGrad default, antithetic base draws.
+    ``logdensity_fn`` maps (..., dim) -> (...) log p~(z) per sample.
+    """
+    if optimizer is None:
+        optimizer = optax.adagrad(1e-1)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if opt_state is None:
+        opt_state = optimizer.init(initial_flow)
+
+    def step(carry, i):
+        flow, opt_state = carry
+        k = jax.random.fold_in(key, i)
+        xi = jax.random.normal(k, (batch_size, dim), dtype=dtype)
+        if antithetic:
+            xi = jnp.concatenate([xi, -xi], axis=0)  # reference :57
+        nelbo, grads = jax.value_and_grad(neg_elbo)(flow, logdensity_fn, xi)
+        updates, opt_state = optimizer.update(grads, opt_state, flow)
+        flow = optax.apply_updates(flow, updates)
+        flow = flow.canonicalize()
+        return (flow, opt_state), nelbo
+
+    @jax.jit
+    def run(flow, opt_state):
+        (flow, opt_state), hist = lax.scan(
+            step, (flow, opt_state), jnp.arange(nsteps))
+        return flow, opt_state, hist
+
+    flow, opt_state, hist = run(initial_flow, opt_state)
+    if nelbo_history is not None:
+        hist = jnp.concatenate([jnp.asarray(nelbo_history), hist])
+    return VIResult(flow, opt_state, hist)
