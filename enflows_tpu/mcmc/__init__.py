@@ -1,0 +1,19 @@
+from .hmc import HMCState, HMCInfo, hmc_kernel, init_state, leapfrog
+from .nuts import NUTSInfo, nuts_kernel
+from .logdensity import flow_preconditioned, PreconditionedTarget
+from .sample import sample, window_adaptation, run_chains, WarmupResult
+from .adaptation import (
+    da_init, da_update, welford_init, welford_update, welford_update_batch,
+    welford_variance, build_schedule,
+)
+from .diagnostics import ess, ess_per_dim, split_rhat, split_rhat_per_dim
+
+__all__ = [
+    "HMCState", "HMCInfo", "hmc_kernel", "init_state", "leapfrog",
+    "NUTSInfo", "nuts_kernel",
+    "flow_preconditioned", "PreconditionedTarget",
+    "sample", "window_adaptation", "run_chains", "WarmupResult",
+    "da_init", "da_update", "welford_init", "welford_update",
+    "welford_update_batch", "welford_variance", "build_schedule",
+    "ess", "ess_per_dim", "split_rhat", "split_rhat_per_dim",
+]
