@@ -1,0 +1,18 @@
+from .mesh import (
+    make_mesh, chains_sharding, replicated, shard_chains, distributed_init,
+)
+from .collectives import (
+    pmean, psum, all_gather, psum_scatter, axis_index, broadcast_from_zero,
+)
+from .resample import sharded_systematic_resample
+from .smc_sharded import make_sharded_smc_step, smc_sample_sharded
+from .mcmc_sharded import sample_sharded
+
+__all__ = [
+    "make_mesh", "chains_sharding", "replicated", "shard_chains",
+    "distributed_init",
+    "pmean", "psum", "all_gather", "psum_scatter", "axis_index",
+    "broadcast_from_zero",
+    "sharded_systematic_resample",
+    "make_sharded_smc_step", "smc_sample_sharded", "sample_sharded",
+]

@@ -1,0 +1,74 @@
+"""Trainer-backed learned annealing transports for SMC.
+
+Fits a flow T between SMC temperatures by minimizing the weighted
+reverse-KL surrogate (Annealed Flow Transport objective, PAPERS.md):
+
+    L(T) = - sum_i w_i [ log pi_{beta'}(T(x_i)) + ladj_T(x_i) ]
+
+with w the normalized particle weights at beta. Reuses the M1 optax/scan
+training machinery (SURVEY.md §7 M3: "learned annealing flow transports
+(reuse M1 trainer between temperature steps)").
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from ..bijectors.base import Bijector
+from ..bijectors.scale_shift import ScaleShift
+
+
+def default_template(particles) -> Bijector:
+    """Identity-initialized per-dim affine transport."""
+    dim = particles.shape[-1]
+    dtype = particles.dtype
+    return ScaleShift(a=jnp.ones(dim, dtype), b=jnp.zeros(dim, dtype))
+
+
+def make_transport_fitter(log_base: Callable, log_target: Callable,
+                          template_fn: Callable = default_template,
+                          nsteps: int = 100,
+                          optimizer: Optional[optax.GradientTransformation]
+                          = None) -> Callable:
+    """Returns ``fit_transport(key, particles, log_weights, beta, beta_next)``
+    suitable for ``smc_sample(fit_transport=...)``."""
+    if optimizer is None:
+        optimizer = optax.adam(5e-2)
+
+    @jax.jit
+    def fit(particles, log_weights, beta_next, flow):
+        w = jax.nn.softmax(log_weights)
+
+        def logp_next(q):
+            return ((1.0 - beta_next) * log_base(q)
+                    + beta_next * log_target(q))
+
+        def loss_fn(flow):
+            y, ladj = flow.forward_and_ladj(particles)
+            return -jnp.sum(w * (jax.vmap(logp_next)(y) + ladj))
+
+        opt_state = optimizer.init(flow)
+
+        def train_step(carry, _):
+            flow, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(flow)
+            updates, opt_state = optimizer.update(grads, opt_state, flow)
+            flow = optax.apply_updates(flow, updates)
+            flow = flow.canonicalize()
+            return (flow, opt_state), loss
+
+        (flow, _), losses = lax.scan(train_step, (flow, opt_state),
+                                     None, length=nsteps)
+        return flow, losses
+
+    def fit_transport(key, particles, log_weights, beta, beta_next):
+        del key, beta
+        flow = template_fn(particles)
+        flow, _ = fit(particles, log_weights, beta_next, flow)
+        return flow
+
+    return fit_transport

@@ -1,0 +1,247 @@
+"""Tempered Sequential Monte Carlo with learned annealing flow transports.
+
+No reference counterpart (SURVEY.md §2b "SMC with learned annealing
+transports" row). Geometric annealing path between a tractable base
+(standard normal by default) and the target:
+
+    log pi_beta(x) = (1 - beta) * log p0(x) + beta * log p1(x)
+
+Each temperature step decomposes into three jitted pieces (the outer loop
+over temperatures is a host loop because the number of temperatures is
+adaptive):
+
+1. **Adaptive tempering** (`compute_next_beta`): bisection (`lax.while_loop`)
+   picks beta' so the incremental-weight ESS equals ``ess_target * n`` —
+   the particles set the schedule, not a fixed grid.
+2. **Optional learned transport** (Annealed Flow Transport flavor, Arbel et
+   al. 2021, PAPERS.md): a flow T fit between temperatures (reusing the M1
+   whitening/VI trainers) moves particles with the AFT incremental weight
+   ``log pi_beta'(T(x)) + ladj_T(x) - log pi_beta(x)`` — exact for any T by
+   the importance-sampling identity; T's quality only affects weight
+   variance. Without a transport the weight reduces to the standard
+   ``(beta' - beta) * (log p1 - log p0)``.
+3. **Resample + mutate** (`reweight_resample_mutate`): systematic
+   resampling when ESS < threshold, then ``mutation_steps`` HMC transitions
+   targeting pi_beta' with Robbins-Monro step-size adaptation toward 65%
+   acceptance.
+
+The running log-normalizing-constant estimate log Z accumulates
+logsumexp(normalized prev weights + incremental weights) per step.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..bijectors.base import Bijector
+from ..distributions.base import std_normal_logpdf_sum
+from ..mcmc.hmc import hmc_kernel, init_state
+
+
+class SMCState(NamedTuple):
+    particles: jax.Array      # (n, dim)
+    log_weights: jax.Array    # (n,) unnormalized
+    beta: jax.Array           # current inverse temperature
+    log_z: jax.Array          # running log normalizing-constant estimate
+    step_size: jax.Array      # mutation step size (adapted)
+
+
+class SMCInfo(NamedTuple):
+    beta: jax.Array
+    ess: jax.Array
+    accept_prob: jax.Array
+    resampled: jax.Array
+    log_z: jax.Array
+
+
+def log_ess(log_weights) -> jax.Array:
+    """log ESS = 2*logsumexp(w) - logsumexp(2w)."""
+    return (2.0 * jax.scipy.special.logsumexp(log_weights)
+            - jax.scipy.special.logsumexp(2.0 * log_weights))
+
+
+def systematic_resample(key, log_weights, particles):
+    """Systematic (single-uniform stratified) resampling.
+
+    O(n) searchsorted over the weight CDF; XLA-friendly, and the local
+    building block of the distributed resampler (parallel.resample).
+    """
+    n = log_weights.shape[0]
+    w = jax.nn.softmax(log_weights)
+    cdf = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), w.dtype)
+    pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
+    idx = jnp.searchsorted(cdf, pts, side="left")
+    idx = jnp.clip(idx, 0, n - 1)
+    return particles[idx]
+
+
+def make_tempered(log_base: Callable, log_target: Callable):
+    def tempered(beta):
+        def logp(q):
+            return (1.0 - beta) * log_base(q) + beta * log_target(q)
+        return logp
+    return tempered
+
+
+def make_compute_next_beta(log_base: Callable, log_target: Callable,
+                           ess_target: float = 0.5):
+    """Jitted: (state) -> beta'. Bisection on the incremental-weight ESS."""
+
+    @jax.jit
+    def compute_next_beta(state: SMCState):
+        n = state.particles.shape[0]
+        dtype = state.particles.dtype
+        lp0 = jax.vmap(log_base)(state.particles)
+        lp1 = jax.vmap(log_target)(state.particles)
+        log_ratio = lp1 - lp0
+        target_log_ess = jnp.log(jnp.asarray(ess_target * n, dtype))
+
+        def ess_at(b):
+            return log_ess(state.log_weights
+                           + (b - state.beta) * log_ratio)
+
+        def cond(carry):
+            lo, hi, it = carry
+            return (it < 60) & (hi - lo > 1e-6)
+
+        def body(carry):
+            lo, hi, it = carry
+            mid = 0.5 * (lo + hi)
+            ok = ess_at(mid) >= target_log_ess
+            return (jnp.where(ok, mid, lo), jnp.where(ok, hi, mid), it + 1)
+
+        one = jnp.asarray(1.0, dtype)
+        full = ess_at(one) >= target_log_ess
+        lo, _, _ = lax.while_loop(
+            cond, body, (state.beta, one, jnp.asarray(0, jnp.int32)))
+        return jnp.where(full, one, lo)
+
+    return compute_next_beta
+
+
+def make_reweight_resample_mutate(
+        log_base: Callable, log_target: Callable, *,
+        mutation_steps: int = 5, leapfrog_steps: int = 10,
+        resample_threshold: float = 0.5, target_accept: float = 0.65):
+    """Jitted: (key, state, beta_new, lw_inc) -> (state, info)."""
+    tempered = make_tempered(log_base, log_target)
+
+    @jax.jit
+    def step(key, state: SMCState, beta_new, lw_inc):
+        n, dim = state.particles.shape
+        dtype = state.particles.dtype
+        k_res, k_mut = jax.random.split(key)
+
+        # log Z: weighted mean of incremental weights under prev weights.
+        log_w_prev_norm = state.log_weights - jax.scipy.special.logsumexp(
+            state.log_weights)
+        log_z = state.log_z + jax.scipy.special.logsumexp(
+            log_w_prev_norm + lw_inc)
+
+        log_weights = state.log_weights + lw_inc
+        cur_ess = jnp.exp(log_ess(log_weights))
+        # Inclusive: adaptive tempering drives ESS exactly TO the target,
+        # so a strict < would never fire and beta would stall at the
+        # boundary (ess_target == resample_threshold is the default).
+        do_resample = cur_ess <= resample_threshold * n * (1.0 + 1e-6)
+        particles = lax.cond(
+            do_resample,
+            lambda: systematic_resample(k_res, log_weights, state.particles),
+            lambda: state.particles)
+        log_weights = jnp.where(do_resample,
+                                jnp.zeros_like(log_weights), log_weights)
+
+        logp_fn = tempered(beta_new)
+        kernel = hmc_kernel(logp_fn, num_steps=leapfrog_steps)
+        states = jax.vmap(lambda q: init_state(logp_fn, q))(particles)
+
+        def mutate(carry, t):
+            states, step_size = carry
+            keys = jax.random.split(jax.random.fold_in(k_mut, t), n)
+            states, info = jax.vmap(kernel, in_axes=(0, 0, None, None))(
+                keys, states, step_size, jnp.ones(dim, dtype))
+            acc = jnp.mean(info.accept_prob)
+            step_size = step_size * jnp.exp(0.5 * (acc - target_accept))
+            return (states, step_size), acc
+
+        (states, step_size), accs = lax.scan(
+            mutate, (states, state.step_size), jnp.arange(mutation_steps))
+
+        new_state = SMCState(particles=states.q, log_weights=log_weights,
+                             beta=beta_new, log_z=log_z,
+                             step_size=step_size)
+        info = SMCInfo(beta=beta_new, ess=cur_ess,
+                       accept_prob=jnp.mean(accs),
+                       resampled=do_resample, log_z=log_z)
+        return new_state, info
+
+    return step
+
+
+def smc_sample(log_target: Callable, key, *, dim: int,
+               num_particles: int = 1024,
+               log_base: Optional[Callable] = None,
+               base_sampler: Optional[Callable] = None,
+               mutation_steps: int = 5, leapfrog_steps: int = 10,
+               ess_target: float = 0.5, resample_threshold: float = 0.5,
+               initial_step_size: float = 0.2, max_temps: int = 200,
+               fit_transport: Optional[Callable] = None,
+               dtype=jnp.float32):
+    """Adaptive tempered SMC from base to ``log_target``.
+
+    Returns (particles, log_weights, log_z, infos).
+
+    ``fit_transport(key, particles, log_weights, beta, beta_next) ->
+    Bijector`` (optional): learned annealing transport, applied with the
+    AFT-corrected incremental weight (see module docstring). A trainer-
+    backed implementation lives in flow_transport.py.
+    """
+    if log_base is None:
+        log_base = lambda q: std_normal_logpdf_sum(q)
+        base_sampler = lambda k, n: jax.random.normal(k, (n, dim), dtype)
+    assert base_sampler is not None, "custom log_base needs base_sampler"
+
+    key, k0 = jax.random.split(key)
+    particles = base_sampler(k0, num_particles)
+    state = SMCState(
+        particles=particles,
+        log_weights=jnp.zeros(num_particles, dtype),
+        beta=jnp.zeros((), dtype),
+        log_z=jnp.zeros((), dtype),
+        step_size=jnp.asarray(initial_step_size, dtype),
+    )
+    compute_next_beta = make_compute_next_beta(log_base, log_target,
+                                               ess_target)
+    step = make_reweight_resample_mutate(
+        log_base, log_target, mutation_steps=mutation_steps,
+        leapfrog_steps=leapfrog_steps,
+        resample_threshold=resample_threshold)
+    tempered = make_tempered(log_base, log_target)
+
+    infos = []
+    for _ in range(max_temps):
+        key, k_t, k_f = jax.random.split(key, 3)
+        beta_new = compute_next_beta(state)
+
+        if fit_transport is not None:
+            T: Bijector = fit_transport(k_f, state.particles,
+                                        state.log_weights, state.beta,
+                                        beta_new)
+            y, ladj = T.forward_and_ladj(state.particles)
+            lw_inc = (jax.vmap(tempered(beta_new))(y) + ladj
+                      - jax.vmap(tempered(state.beta))(state.particles))
+            state = state._replace(particles=y)
+        else:
+            lp0 = jax.vmap(log_base)(state.particles)
+            lp1 = jax.vmap(log_target)(state.particles)
+            lw_inc = (beta_new - state.beta) * (lp1 - lp0)
+
+        state, info = step(k_t, state, beta_new, lw_inc)
+        infos.append(info)
+        if float(state.beta) >= 1.0:
+            break
+    return state.particles, state.log_weights, state.log_z, infos

@@ -1,0 +1,125 @@
+"""SMC tests: tempering, resampling, normalizing constants, transports.
+
+Validates the M3 milestone (SURVEY.md §7): adaptive temperature schedule,
+systematic resampler statistics, log-Z estimates against analytic values,
+multimodal mass balance (BASELINE.json 100D-mixture config at reduced CI
+scale), and that learned flow transports shrink the temperature count.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enflows_tpu.smc import (
+    smc_sample, systematic_resample, log_ess, make_transport_fitter,
+)
+from enflows_tpu.distributions import std_normal_logpdf_sum
+
+DT = jnp.float64
+
+
+def test_systematic_resample_statistics():
+    key = jax.random.PRNGKey(0)
+    n = 10000
+    particles = jnp.arange(n, dtype=DT)[:, None]
+    logw = jnp.log(jnp.asarray(
+        np.concatenate([np.full(n // 2, 3.0), np.full(n // 2, 1.0)])))
+    out = systematic_resample(key, logw, particles)
+    # 3:1 weights -> 75% of offspring from the first half.
+    frac = float(jnp.mean(out[:, 0] < n // 2))
+    assert abs(frac - 0.75) < 0.01
+    # Systematic resampling: offspring counts within +-1 of expectation.
+    idx, counts = np.unique(np.asarray(out[:, 0]), return_counts=True)
+    assert counts.max() <= 3  # E[count] = 1.5 for heavy half
+
+
+def test_log_ess():
+    lw = jnp.zeros(100, DT)
+    np.testing.assert_allclose(float(jnp.exp(log_ess(lw))), 100.0,
+                               rtol=1e-10)
+    lw2 = jnp.asarray([0.0] + [-jnp.inf] * 99, DT)
+    np.testing.assert_allclose(float(jnp.exp(log_ess(lw2))), 1.0,
+                               rtol=1e-10)
+
+
+def test_smc_gaussian_logz_and_moments():
+    mu = jnp.asarray([3.0, -2.0], DT)
+    s = 0.5
+
+    def log_target(q):
+        d = q - mu
+        return -0.5 * jnp.sum(d * d) / s**2
+
+    true_logz = 2 * 0.5 * np.log(2 * np.pi * s**2)
+    parts, lw, logz, infos = smc_sample(
+        log_target, jax.random.PRNGKey(0), dim=2, num_particles=4096,
+        dtype=DT)
+    assert float(infos[-1].beta) == 1.0
+    assert len(infos) < 30
+    w = np.asarray(jax.nn.softmax(lw))
+    p = np.asarray(parts)
+    m = (w[:, None] * p).sum(0)
+    np.testing.assert_allclose(m, np.asarray(mu), atol=0.08)
+    var = (w[:, None] * (p - m) ** 2).sum(0)
+    np.testing.assert_allclose(var, s**2, rtol=0.2)
+    assert abs(float(logz) - true_logz) < 0.15
+
+
+def test_smc_multimodal_mass_balance():
+    # Two well-separated modes with 70/30 mass: tempering + resampling must
+    # preserve the balance (a plain MCMC chain cannot cross).
+    def log_target(q):
+        a = -0.5 * jnp.sum((q - 4.0) ** 2) / 0.25 + jnp.log(0.7)
+        b = -0.5 * jnp.sum((q + 4.0) ** 2) / 0.25 + jnp.log(0.3)
+        return jnp.logaddexp(a, b)
+
+    parts, lw, logz, infos = smc_sample(
+        log_target, jax.random.PRNGKey(1), dim=2, num_particles=8192,
+        dtype=DT)
+    w = np.asarray(jax.nn.softmax(lw))
+    frac = float((w * (np.asarray(parts)[:, 0] > 0)).sum())
+    assert abs(frac - 0.7) < 0.06, frac
+    assert abs(float(logz) - np.log(2 * np.pi * 0.25)) < 0.2
+
+
+def test_learned_transport_reduces_temperatures():
+    mu = jnp.asarray([3.0, -2.0], DT)
+    s = 0.5
+
+    def log_target(q):
+        d = q - mu
+        return -0.5 * jnp.sum(d * d) / s**2
+
+    base = lambda q: std_normal_logpdf_sum(q)
+    fit = make_transport_fitter(base, log_target, nsteps=80)
+    p1, lw1, lz1, inf1 = smc_sample(log_target, jax.random.PRNGKey(0),
+                                    dim=2, num_particles=4096, dtype=DT)
+    p2, lw2, lz2, inf2 = smc_sample(log_target, jax.random.PRNGKey(0),
+                                    dim=2, num_particles=4096,
+                                    fit_transport=fit, dtype=DT)
+    assert len(inf2) < len(inf1)
+    true_logz = np.log(2 * np.pi * s**2)
+    # Transport-corrected logZ is the sharper estimate.
+    assert abs(float(lz2) - true_logz) < 0.1
+    w2 = np.asarray(jax.nn.softmax(lw2))
+    m2 = (w2[:, None] * np.asarray(p2)).sum(0)
+    np.testing.assert_allclose(m2, np.asarray(mu), atol=0.05)
+
+
+def test_smc_higher_dim_mixture():
+    # Reduced-scale version of the BASELINE.json 100D multimodal config:
+    # 16D, two modes.
+    dim = 16
+
+    def log_target(q):
+        a = -0.5 * jnp.sum((q - 2.0) ** 2) + jnp.log(0.5)
+        b = -0.5 * jnp.sum((q + 2.0) ** 2) + jnp.log(0.5)
+        return jnp.logaddexp(a, b)
+
+    parts, lw, logz, infos = smc_sample(
+        log_target, jax.random.PRNGKey(2), dim=dim, num_particles=8192,
+        mutation_steps=8, dtype=DT)
+    w = np.asarray(jax.nn.softmax(lw))
+    frac = float((w * (np.asarray(parts)[:, 0] > 0)).sum())
+    assert 0.25 < frac < 0.75, frac  # both modes retain mass
+    true_logz = dim * 0.5 * np.log(2 * np.pi)
+    assert abs(float(logz) - true_logz) < 0.8
