@@ -1,0 +1,117 @@
+"""Thin CLI: config-driven train / sample / bench runs.
+
+The config layer the reference lacks (SURVEY.md §5 "Config: kwargs only"):
+``python -m enflows_tpu.cli train --config run.toml --train.nepochs=20``.
+Library kwargs remain the primary API; the CLI just parses TOML/JSON +
+dotted overrides and dispatches.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def _mesh_from_cfg(cfg):
+    from .parallel import make_mesh
+    if cfg.mesh.axes:
+        return make_mesh(dict(cfg.mesh.axes), axis_name=cfg.mesh.axis_name)
+    return None
+
+
+def cmd_train(cfg):
+    import numpy as np
+    import optax
+    from .utils import build_flow, MetricsLogger, save_checkpoint
+    from .train import optimize_whitening, optimize_elbo
+
+    flow = build_flow(cfg.flow)
+    opt = {"adagrad": optax.adagrad, "adam": optax.adam,
+           "sgd": optax.sgd}[cfg.train.optimizer](cfg.train.learning_rate)
+    key = jax.random.PRNGKey(cfg.train.seed)
+
+    if cfg.train.objective == "whitening":
+        # Synthetic demo target when no data source is configured: the
+        # reference 1D example's ground truth, matching examples/.
+        from . import compose, CenterStretch, Johnson
+        d = cfg.flow.dim
+        vec = lambda v: jnp.full((d,), v, jnp.dtype(cfg.flow.dtype))
+        truth = compose(CenterStretch(a=vec(4.0), b=vec(1.0), c=vec(0.0)),
+                        Johnson(gamma=vec(10.0), delta=vec(3.5),
+                                xi=vec(10.0), lam=vec(1.0)))
+        X = truth.forward(jax.random.normal(key, (10**5, d),
+                                            jnp.dtype(cfg.flow.dtype)))
+        res = optimize_whitening(X, flow, opt, nbatches=cfg.train.nbatches,
+                                 nepochs=cfg.train.nepochs,
+                                 mesh=_mesh_from_cfg(cfg))
+        hist = res.negll_history
+    else:
+        from .distributions import std_normal_logpdf_sum
+        res = optimize_elbo(lambda z: std_normal_logpdf_sum(z), flow, opt,
+                            dim=cfg.flow.dim,
+                            batch_size=cfg.train.batch_size,
+                            nsteps=cfg.train.nsteps,
+                            antithetic=cfg.train.antithetic, key=key)
+        hist = res.nelbo_history
+
+    with MetricsLogger(cfg.metrics_path) as log:
+        for i in range(0, len(hist), max(1, len(hist) // 100)):
+            log.log(i, loss=float(hist[i]))
+    if cfg.checkpoint_dir:
+        save_checkpoint(cfg.checkpoint_dir,
+                        {"flow": res.result,
+                         "opt_state": res.optimizer_state},
+                        step=len(hist))
+    print(f"final loss: {float(np.mean(np.asarray(hist[-50:]))):.4f}")
+    return 0
+
+
+def cmd_sample(cfg):
+    import numpy as np
+    from .mcmc import sample, split_rhat_per_dim, ess_per_dim
+    from .smc import smc_sample
+
+    d = cfg.sampler.num_chains
+    dim = cfg.flow.dim
+
+    def logp(q):           # demo target: standard normal
+        return -0.5 * jnp.sum(q * q)
+
+    key = jax.random.PRNGKey(cfg.sampler.seed)
+    if cfg.sampler.algorithm == "smc":
+        parts, lw, logz, infos = smc_sample(
+            logp, key, dim=dim, num_particles=cfg.sampler.num_particles,
+            mutation_steps=cfg.sampler.mutation_steps,
+            ess_target=cfg.sampler.ess_target)
+        print(f"SMC: {len(infos)} temperatures, logZ={float(logz):.4f}")
+    else:
+        samples, _, stats = sample(
+            logp, key, dim=dim, num_chains=cfg.sampler.num_chains,
+            num_warmup=cfg.sampler.num_warmup,
+            num_samples=cfg.sampler.num_samples,
+            algorithm=cfg.sampler.algorithm,
+            max_depth=cfg.sampler.max_depth,
+            num_steps=cfg.sampler.num_steps,
+            target_accept=cfg.sampler.target_accept)
+        print(f"{cfg.sampler.algorithm}: rhat="
+              f"{split_rhat_per_dim(samples).max():.4f} "
+              f"ess_min={ess_per_dim(samples).min():.0f} "
+              f"accept={float(np.mean(np.asarray(stats.accept_prob))):.3f}")
+    return 0
+
+
+def main(argv=None):
+    from .utils import load_config
+
+    parser = argparse.ArgumentParser(prog="enflows_tpu")
+    parser.add_argument("command", choices=["train", "sample"])
+    parser.add_argument("--config", default=None)
+    args, overrides = parser.parse_known_args(argv)
+    cfg = load_config(args.config, overrides)
+    return {"train": cmd_train, "sample": cmd_sample}[args.command](cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

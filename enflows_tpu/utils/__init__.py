@@ -1,3 +1,17 @@
 from .pytree import pytree_dataclass, field
+from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from .metrics import MetricsLogger
+from .config import (
+    FlowConfig, TrainConfig, SamplerConfig, MeshConfig, RunConfig,
+    load_config, build_flow,
+)
+from .profiling import trace, annotate, StepTimer
 
-__all__ = ["pytree_dataclass", "field"]
+__all__ = [
+    "pytree_dataclass", "field",
+    "save_checkpoint", "restore_checkpoint", "latest_step",
+    "MetricsLogger",
+    "FlowConfig", "TrainConfig", "SamplerConfig", "MeshConfig", "RunConfig",
+    "load_config", "build_flow",
+    "trace", "annotate", "StepTimer",
+]

@@ -1,0 +1,161 @@
+"""Typed configs + TOML/JSON loading with flag overrides.
+
+The reference's whole config system is keyword arguments with defaults
+(/root/reference/src/optimize_whitening.jl:27; SURVEY.md §5). Library-level
+kwargs stay the primary API here too; these dataclasses + the thin CLI
+(enflows_tpu.cli) add the reproducible-run layer the reference lacks:
+a run is a TOML/JSON file plus ``--section.key=value`` overrides.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+try:
+    import tomllib            # py3.11+
+except ImportError:           # pragma: no cover
+    tomllib = None
+
+
+@dataclass
+class FlowConfig:
+    """Flow architecture: stage kinds in data-flow order."""
+    dim: int = 1
+    stages: list[str] = field(default_factory=lambda: [
+        "center_stretch_inv", "johnson", "center_stretch_inv", "johnson"])
+    householder_reflections: int = 2
+    dtype: str = "float32"
+
+
+@dataclass
+class TrainConfig:
+    objective: str = "whitening"     # whitening | elbo
+    optimizer: str = "adagrad"
+    learning_rate: float = 0.1
+    nbatches: int = 100
+    nepochs: int = 10
+    batch_size: int = 100            # ELBO path
+    nsteps: int = 1000               # ELBO path
+    antithetic: bool = True
+    seed: int = 0
+
+
+@dataclass
+class SamplerConfig:
+    algorithm: str = "nuts"          # nuts | hmc | smc
+    num_chains: int = 8
+    num_warmup: int = 500
+    num_samples: int = 1000
+    max_depth: int = 10
+    num_steps: int = 32              # hmc
+    target_accept: float = 0.8
+    num_particles: int = 8192        # smc
+    mutation_steps: int = 5
+    ess_target: float = 0.5
+    seed: int = 0
+
+
+@dataclass
+class MeshConfig:
+    axes: dict[str, int] = field(default_factory=dict)  # {} = single device
+    axis_name: str = "chains"
+
+
+@dataclass
+class RunConfig:
+    flow: FlowConfig = field(default_factory=FlowConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    checkpoint_dir: Optional[str] = None
+    metrics_path: Optional[str] = None
+
+
+def _coerce(dc_cls, data: dict):
+    kwargs = {}
+    for f in dataclasses.fields(dc_cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) or (
+                isinstance(f.type, type) and dataclasses.is_dataclass(f.type)):
+            v = _coerce(f.type, v)
+        kwargs[f.name] = v
+    return dc_cls(**kwargs)
+
+
+def load_config(path: Optional[str] = None,
+                overrides: Optional[list[str]] = None) -> RunConfig:
+    """Load RunConfig from TOML/JSON + ``section.key=value`` overrides."""
+    data: dict[str, Any] = {}
+    if path:
+        if path.endswith(".toml"):
+            if tomllib is None:
+                raise RuntimeError("tomllib unavailable")
+            with open(path, "rb") as f:
+                data = tomllib.load(f)
+        else:
+            with open(path) as f:
+                data = json.load(f)
+    sub = {
+        "flow": _coerce(FlowConfig, data.get("flow", {})),
+        "train": _coerce(TrainConfig, data.get("train", {})),
+        "sampler": _coerce(SamplerConfig, data.get("sampler", {})),
+        "mesh": _coerce(MeshConfig, data.get("mesh", {})),
+    }
+    cfg = RunConfig(checkpoint_dir=data.get("checkpoint_dir"),
+                    metrics_path=data.get("metrics_path"), **sub)
+    for ov in overrides or []:
+        key, _, raw = ov.partition("=")
+        if not _:
+            raise ValueError(f"override must be key=value: {ov}")
+        parts = key.strip().lstrip("-").split(".")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        obj = cfg
+        for p in parts[:-1]:
+            if not hasattr(obj, p):
+                raise ValueError(f"unknown config key: {key}")
+            obj = getattr(obj, p)
+        if not hasattr(obj, parts[-1]):
+            raise ValueError(f"unknown config key: {key}")
+        setattr(obj, parts[-1], val)
+    return cfg
+
+
+def build_flow(cfg: FlowConfig):
+    """Instantiate the configured flow (identity-ish init like the
+    reference examples, nf_example_1d.jl:19-23)."""
+    import jax.numpy as jnp
+    from ..bijectors import (
+        CenterStretch, Johnson, ScaleShift, Householder, Chain, invert,
+    )
+    import jax
+
+    dtype = jnp.dtype(cfg.dtype)
+    d = cfg.dim
+    vec = lambda v: jnp.full((d,), v, dtype)
+    stages = []
+    key = jax.random.PRNGKey(0)
+    for i, kind in enumerate(cfg.stages):
+        if kind == "johnson":
+            stages.append(Johnson(gamma=vec(0.0), delta=vec(5.0),
+                                  xi=vec(0.0), lam=vec(5.0)))
+        elif kind == "center_stretch_inv":
+            stages.append(invert(CenterStretch(a=vec(0.0), b=vec(1.0),
+                                               c=vec(0.0))))
+        elif kind == "center_stretch":
+            stages.append(CenterStretch(a=vec(0.0), b=vec(1.0), c=vec(0.0)))
+        elif kind == "scale_shift":
+            stages.append(ScaleShift(a=vec(1.0), b=vec(0.0)))
+        elif kind == "householder":
+            key, k = jax.random.split(key)
+            V = jax.random.normal(k, (cfg.householder_reflections, d), dtype)
+            stages.append(Householder(V=V).canonicalize())
+        else:
+            raise ValueError(f"unknown stage kind: {kind}")
+    return Chain.of(*stages)

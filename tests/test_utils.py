@@ -1,0 +1,117 @@
+"""Aux subsystem tests: checkpoint round-trip, metrics, config, CLI."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from enflows_tpu import ScaleShift, CenterStretch, compose
+from enflows_tpu.utils import (
+    save_checkpoint, restore_checkpoint, latest_step, MetricsLogger,
+    load_config, build_flow, RunConfig,
+)
+
+
+def test_checkpoint_round_trip(tmp_path):
+    flow = compose(
+        CenterStretch(a=jnp.asarray([1.0]), b=jnp.asarray([2.0]),
+                      c=jnp.asarray([0.5])),
+        ScaleShift(a=jnp.asarray([3.0]), b=jnp.asarray([-1.0])),
+    )
+    opt = optax.adagrad(0.1)
+    state = {"flow": flow, "opt_state": opt.init(flow),
+             "key": jax.random.PRNGKey(7), "step": jnp.asarray(42)}
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, step=42)
+    assert latest_step(path) == 42
+    restored = restore_checkpoint(path, state, step=42)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Restored flow behaves identically.
+    x = jnp.asarray([[0.3], [1.5]])
+    np.testing.assert_array_equal(flow.forward(x),
+                                  restored["flow"].forward(x))
+
+
+def test_checkpoint_resume_training(tmp_path):
+    # Save mid-training, restore, continue: same result as uninterrupted.
+    X = 2.0 * jax.random.normal(jax.random.PRNGKey(0), (1000, 2)) + 1.0
+    flow0 = ScaleShift(a=jnp.ones(2), b=jnp.zeros(2))
+    opt = optax.adagrad(0.1)
+    from enflows_tpu.train import optimize_whitening
+    r_full = optimize_whitening(X, flow0, opt, nbatches=10, nepochs=10)
+
+    r_half = optimize_whitening(X, flow0, opt, nbatches=10, nepochs=5)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"flow": r_half.result,
+                           "opt": r_half.optimizer_state}, step=5)
+    restored = restore_checkpoint(
+        path, {"flow": r_half.result, "opt": r_half.optimizer_state},
+        step=5)
+    r_resumed = optimize_whitening(X, restored["flow"], opt, nbatches=10,
+                                   nepochs=5, opt_state=restored["opt"])
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(r_resumed.result)[0]),
+        np.asarray(jax.tree.leaves(r_full.result)[0]), rtol=1e-6)
+
+
+def test_metrics_logger(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    with MetricsLogger(path) as log:
+        log.log(0, negll=1.5, accept=0.8)
+        log.log(1, negll=jnp.asarray(1.2))
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["negll"] == 1.5
+    assert lines[1]["negll"] == pytest.approx(1.2)
+    assert len(log.history) == 2
+
+
+def test_metrics_from_jit(tmp_path):
+    log = MetricsLogger(None)
+
+    @jax.jit
+    def f(x):
+        log.from_jit(jnp.asarray(3), loss=jnp.sum(x))
+        return x * 2
+
+    f(jnp.ones(4)).block_until_ready()
+    jax.effects_barrier()
+    assert log.history and log.history[0]["loss"] == pytest.approx(4.0)
+
+
+def test_config_load_and_overrides(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "flow": {"dim": 2, "stages": ["scale_shift", "householder"]},
+        "train": {"nepochs": 3},
+    }))
+    cfg = load_config(str(p), ["--train.learning_rate=0.5",
+                               "--sampler.num_chains=4"])
+    assert cfg.flow.dim == 2
+    assert cfg.train.nepochs == 3
+    assert cfg.train.learning_rate == 0.5
+    assert cfg.sampler.num_chains == 4
+    with pytest.raises(ValueError):
+        load_config(str(p), ["--no.such.key=1"])
+
+
+def test_build_flow_from_config():
+    cfg = load_config(None, ["--flow.dim=3"])
+    flow = build_flow(cfg.flow)
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 3))
+    y, ladj = flow.forward_and_ladj(x)
+    assert y.shape == (5, 3) and ladj.shape == (5,)
+    # identity-ish init: near-zero ladj, finite round trip
+    x2 = flow.inverse().forward(y)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+
+
+def test_cli_train_smoke(capsys):
+    from enflows_tpu.cli import main
+    rc = main(["train", "--flow.dim=1", "--train.nepochs=1",
+               "--train.nbatches=10"])
+    assert rc == 0
+    assert "final loss" in capsys.readouterr().out
