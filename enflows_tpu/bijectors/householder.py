@@ -127,7 +127,10 @@ def householder_matrix(V: Array, dtype=None) -> Array:
 
 def householder_chain_dense(V: Array, x: Array) -> Array:
     Q = householder_matrix(V)
-    return jnp.matmul(x, Q.T, preferred_element_type=x.dtype)
+    # HIGHEST precision: the TPU MXU's default bf16 passes would cost ~1e-3
+    # relative error on f32 rotations (orthogonality is a tested invariant).
+    return jnp.matmul(x, Q.T, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=x.dtype)
 
 
 @pytree_dataclass(static=("mode",))

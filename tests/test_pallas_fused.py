@@ -1,0 +1,111 @@
+"""Fused Pallas bijector-chain kernel tests (interpret mode on CPU).
+
+Oracle = the stage-at-a-time jnp path (itself validated against AD and f64
+in the other test files). Covers packed/unpacked entry points, every stage
+kind incl. the block-diagonal Householder matmul, gradients through the
+custom_vjp, fallbacks (d not dividing 128, f64), and padding tails.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import enflows_tpu as ef
+from enflows_tpu.ops.pallas.elementwise import (
+    fused_forward_and_ladj, fused_forward_and_ladj_packed, is_fusible_chain,
+)
+
+F = jnp.float32
+v = lambda *a: jnp.asarray(a, F)
+
+
+def full_chain(d=2):
+    key = jax.random.PRNGKey(0)
+    vec = lambda *a: jnp.asarray(a[:d] if len(a) >= d else a * d, F)
+    return ef.compose(
+        ef.Johnson(gamma=jnp.full(d, 0.3, F), delta=jnp.full(d, 5.0, F),
+                   xi=jnp.zeros(d, F), lam=jnp.full(d, 5.0, F)),
+        ef.Householder(
+            V=jax.random.normal(key, (3, d), F)).canonicalize(),
+        ef.invert(ef.CenterStretch(a=jnp.full(d, 1.0, F),
+                                   b=jnp.full(d, 1.5, F),
+                                   c=jnp.full(d, 0.1, F))),
+        ef.ScaleShift(a=jnp.full(d, 1.3, F), b=jnp.full(d, -0.4, F)),
+        ef.JohnsonInv(gamma=jnp.zeros(d, F), delta=jnp.full(d, 5.0, F),
+                      xi=jnp.zeros(d, F), lam=jnp.full(d, 5.0, F)),
+        ef.CenterStretch(a=jnp.full(d, 0.4, F), b=jnp.full(d, 2.0, F),
+                         c=jnp.zeros(d, F)),
+    )
+
+
+@pytest.mark.parametrize("d", [1, 2, 4, 8])
+def test_fused_matches_jnp(d):
+    chain = full_chain(d)
+    assert is_fusible_chain(chain, d, F)
+    x = jax.random.normal(jax.random.PRNGKey(1), (500, d), F)
+    y1, l1 = chain.forward_and_ladj(x)
+    y2, l2 = fused_forward_and_ladj(chain, x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_packed_consistency_and_odd_sizes():
+    chain = full_chain(2)
+    for n in [1, 7, 63, 64, 65, 1000, 4096 + 3]:
+        x = jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(2), n),
+                              (n, 2), F)
+        y1, l1 = chain.forward_and_ladj(x)
+        yf, lf = fused_forward_and_ladj_packed(chain, x.reshape(-1), 2)
+        np.testing.assert_allclose(np.asarray(yf).reshape(n, 2),
+                                   np.asarray(y1), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(l1),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_gradients_match_reference():
+    chain = full_chain(2)
+    x_flat = jax.random.normal(jax.random.PRNGKey(3), (512,), F)
+
+    def loss_f(c, xf):
+        y, l = fused_forward_and_ladj_packed(c, xf, 2)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(l)
+
+    def loss_r(c, xf):
+        y, l = c.forward_and_ladj(xf.reshape(-1, 2))
+        return jnp.sum(jnp.sin(y.reshape(-1))) + jnp.sum(l)
+
+    gf = jax.grad(loss_f, argnums=(0, 1))(chain, x_flat)
+    gr = jax.grad(loss_r, argnums=(0, 1))(chain, x_flat)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fallbacks():
+    chain = full_chain(2)
+    # d = 3 does not divide 128 -> jnp fallback, still correct.
+    c3 = full_chain(3)
+    assert not is_fusible_chain(c3, 3, F)
+    x3 = jax.random.normal(jax.random.PRNGKey(4), (40, 3), F)
+    y1, l1 = c3.forward_and_ladj(x3)
+    y2, l2 = fused_forward_and_ladj(c3, x3)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # f64 falls back (Mosaic has no f64 path).
+    assert not is_fusible_chain(chain, 2, jnp.float64)
+    x64 = jax.random.normal(jax.random.PRNGKey(5), (40, 2), jnp.float64)
+    y3, l3 = fused_forward_and_ladj(chain, x64)
+    y4, l4 = chain.forward_and_ladj(x64)
+    np.testing.assert_array_equal(np.asarray(y3), np.asarray(y4))
+
+
+def test_householder_blockdiag_orthogonality():
+    # Norms preserved through the in-kernel rotation stage.
+    h = ef.Householder(
+        V=jax.random.normal(jax.random.PRNGKey(6), (4, 4), F)).canonicalize()
+    x = jax.random.normal(jax.random.PRNGKey(7), (256, 4), F)
+    y, ladj = fused_forward_and_ladj(ef.Chain.of(h), x)
+    np.testing.assert_allclose(np.sum(np.asarray(y) ** 2, -1),
+                               np.sum(np.asarray(x) ** 2, -1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ladj), np.zeros(256))
