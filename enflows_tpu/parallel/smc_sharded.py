@@ -172,7 +172,7 @@ def smc_sample_sharded(log_target: Callable, key, mesh: Mesh, *, dim: int,
     from ..distributions.base import std_normal_logpdf_sum
 
     if log_base is None:
-        log_base = lambda q: std_normal_logpdf_sum(q)
+        log_base = std_normal_logpdf_sum
         base_sampler = lambda k, n: jax.random.normal(k, (n, dim), dtype)
     assert base_sampler is not None
 

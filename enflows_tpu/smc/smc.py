@@ -30,6 +30,7 @@ logsumexp(normalized prev weights + incremental weights) per step.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -87,6 +88,7 @@ def make_tempered(log_base: Callable, log_target: Callable):
     return tempered
 
 
+@functools.lru_cache(maxsize=64)
 def make_compute_next_beta(log_base: Callable, log_target: Callable,
                            ess_target: float = 0.5):
     """Jitted: (state) -> beta'. Bisection on the incremental-weight ESS."""
@@ -123,6 +125,7 @@ def make_compute_next_beta(log_base: Callable, log_target: Callable,
     return compute_next_beta
 
 
+@functools.lru_cache(maxsize=64)
 def make_reweight_resample_mutate(
         log_base: Callable, log_target: Callable, *,
         mutation_steps: int = 5, leapfrog_steps: int = 10,
@@ -201,7 +204,9 @@ def smc_sample(log_target: Callable, key, *, dim: int,
     backed implementation lives in flow_transport.py.
     """
     if log_base is None:
-        log_base = lambda q: std_normal_logpdf_sum(q)
+        # Module-level function (stable identity) so the jitted factories
+        # cache-hit across smc_sample calls.
+        log_base = std_normal_logpdf_sum
         base_sampler = lambda k, n: jax.random.normal(k, (n, dim), dtype)
     assert base_sampler is not None, "custom log_base needs base_sampler"
 

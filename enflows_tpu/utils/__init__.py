@@ -6,6 +6,8 @@ from .config import (
     load_config, build_flow,
 )
 from .profiling import trace, annotate, StepTimer
+from .resilience import run_checkpointed, heartbeat
+from .debugging import nan_guard, assert_finite, assert_replicated_consistent
 
 __all__ = [
     "pytree_dataclass", "field",
@@ -14,4 +16,6 @@ __all__ = [
     "FlowConfig", "TrainConfig", "SamplerConfig", "MeshConfig", "RunConfig",
     "load_config", "build_flow",
     "trace", "annotate", "StepTimer",
+    "run_checkpointed", "heartbeat",
+    "nan_guard", "assert_finite", "assert_replicated_consistent",
 ]

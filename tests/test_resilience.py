@@ -1,0 +1,93 @@
+"""Failure-recovery and numerical-guard tests (SURVEY.md §5 rebuild rows).
+
+Fault injection = killing the run mid-way (simulated by stopping the loop)
+and asserting resume equivalence: the resumed final state must be
+bit-identical to an uninterrupted run.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from enflows_tpu import ScaleShift
+from enflows_tpu.train import mvnormal_negll
+from enflows_tpu.utils.resilience import run_checkpointed, heartbeat
+from enflows_tpu.utils.debugging import (
+    nan_guard, assert_replicated_consistent,
+)
+from enflows_tpu.parallel import make_mesh, replicated
+
+
+def _make_step():
+    X = 2.0 * jax.random.normal(jax.random.PRNGKey(0), (512, 2),
+                                jnp.float64) + 1.0
+    opt = optax.adagrad(0.1)
+
+    @jax.jit
+    def step(state, i):
+        flow, opt_state = state
+        negll, grads = jax.value_and_grad(mvnormal_negll)(flow, X)
+        updates, opt_state = opt.update(grads, opt_state, flow)
+        return optax.apply_updates(flow, updates), opt_state
+
+    flow0 = ScaleShift(a=jnp.ones(2, jnp.float64),
+                       b=jnp.zeros(2, jnp.float64))
+    return step, (flow0, opt.init(flow0))
+
+
+def test_crash_resume_equivalence(tmp_path):
+    step, state0 = _make_step()
+    ckpt = str(tmp_path / "ck")
+
+    # Uninterrupted run.
+    full, _ = run_checkpointed(step, state0, 40, ckpt_dir=None)
+
+    # Crashed run: dies at step 25 (checkpoint_every=10 -> last save at 20).
+    crashed = state0
+    for i in range(25):
+        crashed = step(crashed, i)
+        if (i + 1) % 10 == 0:
+            from enflows_tpu.utils import save_checkpoint
+            save_checkpoint(ckpt, crashed, step=i + 1)
+
+    # Resume and finish: must equal the uninterrupted run exactly.
+    resumed, start = run_checkpointed(step, state0, 40, ckpt_dir=ckpt,
+                                      checkpoint_every=10, resume=True)
+    assert start == 20
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_heartbeat():
+    assert heartbeat()
+
+
+def test_nan_guard_catches():
+    def bad(x):
+        return jnp.log(x)          # NaN for negative input
+
+    guarded = nan_guard(bad, "log_out")
+    np.testing.assert_allclose(guarded(jnp.asarray([1.0, 2.0])),
+                               np.log([1.0, 2.0]))
+    with pytest.raises(Exception, match="non-finite"):
+        guarded(jnp.asarray([-1.0]))
+
+
+def test_nan_guard_under_jit():
+    guarded = nan_guard(lambda x: x / x, "ratio")
+    with pytest.raises(Exception, match="non-finite"):
+        jax.jit(lambda x: None) and guarded(jnp.asarray([0.0]))
+
+
+def test_replicated_consistency_check():
+    mesh = make_mesh({"chains": 8})
+    x = jax.device_put(jnp.arange(4.0), replicated(mesh))
+    assert_replicated_consistent(x, "params")  # passes
+
+    # A sharded array whose shards differ must be flagged when treated as
+    # replicated.
+    from enflows_tpu.parallel import chains_sharding
+    y = jax.device_put(jnp.arange(8.0), chains_sharding(mesh))
+    with pytest.raises(AssertionError, match="diverges"):
+        assert_replicated_consistent(y, "sharded")
