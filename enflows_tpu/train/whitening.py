@@ -46,6 +46,20 @@ def mvnormal_negll(flow: Bijector, X: jax.Array) -> jax.Array:
     return -ll
 
 
+def mvnormal_negll_packed(flow: Bijector, x_flat: jax.Array,
+                          dim: int) -> jax.Array:
+    """negll on a PACKED batch (row-major flattened (n, dim)) through the
+    fused Pallas kernel — the hot-loop form (see ops.pallas.elementwise for
+    why layout dominates). Identical value to ``mvnormal_negll``."""
+    from ..ops.pallas.elementwise import fused_forward_and_ladj_packed
+    from ..distributions.base import std_normal_logpdf
+
+    y_flat, ladj = fused_forward_and_ladj_packed(flow, x_flat, dim)
+    n = x_flat.shape[0] // dim
+    ll = (jnp.sum(std_normal_logpdf(y_flat)) + jnp.sum(ladj)) / n
+    return -ll
+
+
 def mvnormal_negll_grad(flow: Bijector, X: jax.Array):
     """(negll, d_flow) — counterpart of mvnormal_negll_trafograd (ref :18-22)."""
     return jax.value_and_grad(mvnormal_negll)(flow, X)
@@ -85,6 +99,7 @@ def optimize_whitening(
     negll_history: jax.Array | None = None,
     mesh: Mesh | None = None,
     batch_axis: str = "batch",
+    use_fused: bool | None = None,
 ) -> WhiteningResult:
     """Fit ``initial_flow`` so that it whitens ``samples``.
 
@@ -106,7 +121,24 @@ def optimize_whitening(
     if opt_state is None:
         opt_state = optimizer.init(initial_flow)
 
-    step = make_train_step(optimizer)
+    if use_fused is None:
+        from ..ops.pallas.elementwise import is_fusible_chain
+        # Fixed per-step pallas dispatch cost only amortizes on large
+        # batches; below ~64K elements XLA's fused jnp path wins.
+        use_fused = (mesh is None
+                     and batch_size * dim >= (1 << 16)
+                     and is_fusible_chain(initial_flow, dim,
+                                          samples.dtype))
+    if use_fused:
+        # Packed hot loop: batches become flat rows; the fused Pallas
+        # kernel serves the forward and the packed-jnp formulation the
+        # backward (see ops.pallas.elementwise).
+        batches = batches.reshape(nbatches, batch_size * dim)
+        step = make_train_step(
+            optimizer,
+            loss_fn=lambda f, xf: mvnormal_negll_packed(f, xf, dim))
+    else:
+        step = make_train_step(optimizer)
 
     def epoch(carry, _):
         carry, neglls = lax.scan(step, carry, batches)
