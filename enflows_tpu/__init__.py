@@ -9,6 +9,24 @@ preconditioned HMC/NUTS with windowed warmup, tempered SMC with learned
 annealing transports, and multi-chip sharding over `jax.sharding.Mesh`.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: NUTS/SMC scans take minutes to compile on
+# TPU (remote AOT); caching makes every later process start warm. Opt out
+# with ENFLOWS_NO_COMPILE_CACHE=1.
+if not _os.environ.get("ENFLOWS_NO_COMPILE_CACHE"):
+    try:
+        _cache_dir = _os.environ.get(
+            "ENFLOWS_COMPILE_CACHE",
+            _os.path.expanduser("~/.cache/enflows_jax_cache"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           2.0)
+    except Exception:
+        pass
+
 from . import bijectors, distributions
 
 from .bijectors import (

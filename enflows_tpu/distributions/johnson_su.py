@@ -69,6 +69,23 @@ class JohnsonSU:
         z = jax.random.normal(key, shape, dtype=jnp.result_type(self.gamma))
         return johnson_inverse(z, self.gamma, self.delta, self.xi, self.lam)
 
+    # Distributions-API surface (reference johnson_trafo.jl:15-22).
+    def minimum(self):
+        return -jnp.inf
+
+    def maximum(self):
+        return jnp.inf
+
+    def params(self):
+        """(gamma, delta, xi, lambda) — StatsBase.params equivalent."""
+        return (self.gamma, self.delta, self.xi, self.lam)
+
+    def location(self):
+        return self.mean()
+
+    def scale(self):
+        return self.var()
+
     # Analytic moments (reference johnson_trafo.jl:24-26).
     def mean(self):
         d2 = 1.0 / (self.delta * self.delta)
