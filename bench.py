@@ -74,13 +74,22 @@ def main():
 
     evals_per_s = batch / dt
 
+    from enflows_tpu.train import mvnormal_negll_packed
+
     @jax.jit
     def grad_step(x):
         return jax.grad(mvnormal_negll)(flow, x)
 
+    @jax.jit
+    def grad_step_packed(x_flat):
+        return jax.grad(
+            lambda f, xf: mvnormal_negll_packed(f, xf, dim))(flow, x_flat)
+
     dt_g = measure(grad_step, x, iters=10)
-    print(f"[bench] negll grad: {dt_g*1e3:.3f} ms "
-          f"({batch/dt_g/1e6:.0f}M samples/s)", file=sys.stderr)
+    dt_gp = measure(grad_step_packed, x_flat, iters=10)
+    print(f"[bench] negll grad: std {dt_g*1e3:.3f} ms "
+          f"({batch/dt_g/1e6:.0f}M samples/s) | packed {dt_gp*1e3:.3f} ms "
+          f"({batch/dt_gp/1e6:.0f}M samples/s)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "flow_fwd_logdet_evals_per_s_per_chip",
