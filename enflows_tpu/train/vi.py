@@ -62,6 +62,8 @@ def optimize_elbo(
     key: jax.Array | None = None,
     opt_state: Any = None,
     nelbo_history: jax.Array | None = None,
+    mesh=None,
+    batch_axis: str = "batch",
     dtype=jnp.float32,
 ) -> VIResult:
     """Fit a flow transport to an unnormalized log-density by ELBO ascent.
@@ -83,6 +85,12 @@ def optimize_elbo(
         xi = jax.random.normal(k, (batch_size, dim), dtype=dtype)
         if antithetic:
             xi = jnp.concatenate([xi, -xi], axis=0)  # reference :57
+        if mesh is not None:
+            # Shard the MC batch; XLA inserts the gradient psum from the
+            # sharding annotations (data-parallel ELBO).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            xi = jax.lax.with_sharding_constraint(
+                xi, NamedSharding(mesh, P(batch_axis)))
         nelbo, grads = jax.value_and_grad(neg_elbo)(flow, logdensity_fn, xi)
         updates, opt_state = optimizer.update(grads, opt_state, flow)
         flow = optax.apply_updates(flow, updates)
