@@ -111,6 +111,17 @@ def make_sharded_smc_step(log_base: Callable, log_target: Callable,
         kernel = hmc_kernel(logp_fn, num_steps=leapfrog_steps)
         states = jax.vmap(lambda q: init_state(logp_fn, q))(particles)
 
+        # Ensemble mass matrix from GLOBAL weighted particle moments —
+        # the distributed moment accumulation of SURVEY.md §5: two psums.
+        log_norm = _global_logsumexp(log_weights, axis_name)
+        w_norm = jnp.exp(log_weights - log_norm)              # (n_local,)
+        mean_p = lax.psum(jnp.einsum("n,nd->d", w_norm, particles),
+                          axis_name)
+        var_p = lax.psum(
+            jnp.einsum("n,nd->d", w_norm, (particles - mean_p) ** 2),
+            axis_name)
+        inv_mass = jnp.clip(var_p, 1e-6, 1e6)
+
         def mutate(carry, t):
             states, eps = carry
             keys = jax.random.split(jax.random.fold_in(k_mut, t), n_local)
@@ -119,7 +130,7 @@ def make_sharded_smc_step(log_base: Callable, log_target: Callable,
                 lambda kk: jax.random.fold_in(
                     kk, lax.axis_index(axis_name)))(keys)
             states, info = jax.vmap(kernel, in_axes=(0, 0, None, None))(
-                keys, states, eps, jnp.ones(dim, dtype))
+                keys, states, eps, inv_mass)
             acc = lax.pmean(jnp.mean(info.accept_prob), axis_name)
             eps = eps * jnp.exp(0.5 * (acc - target_accept))
             return (states, eps), acc

@@ -162,11 +162,20 @@ def make_reweight_resample_mutate(
         kernel = hmc_kernel(logp_fn, num_steps=leapfrog_steps)
         states = jax.vmap(lambda q: init_state(logp_fn, q))(particles)
 
+        # Particle-ensemble mass matrix: the weighted population variance
+        # is a free preconditioner for the mutation kernel (M^-1 = var),
+        # the SMC analogue of Welford warmup in mcmc.adaptation.
+        w_norm = jax.nn.softmax(log_weights)
+        mean_p = jnp.einsum("n,nd->d", w_norm, particles)
+        var_p = jnp.einsum("n,nd->d", w_norm,
+                           (particles - mean_p) ** 2)
+        inv_mass = jnp.clip(var_p, 1e-6, 1e6)
+
         def mutate(carry, t):
             states, step_size = carry
             keys = jax.random.split(jax.random.fold_in(k_mut, t), n)
             states, info = jax.vmap(kernel, in_axes=(0, 0, None, None))(
-                keys, states, step_size, jnp.ones(dim, dtype))
+                keys, states, step_size, inv_mass)
             acc = jnp.mean(info.accept_prob)
             step_size = step_size * jnp.exp(0.5 * (acc - target_accept))
             return (states, step_size), acc

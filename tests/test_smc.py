@@ -123,3 +123,26 @@ def test_smc_higher_dim_mixture():
     assert 0.25 < frac < 0.75, frac  # both modes retain mass
     true_logz = dim * 0.5 * np.log(2 * np.pi)
     assert abs(float(logz) - true_logz) < 0.8
+
+
+def test_smc_anisotropic_mass_adaptation():
+    # 400:1 scale ratios: ensemble mass matrix must keep mutations mixing
+    # (marginal stds within a few % and acceptance near target).
+    scales = jnp.asarray([0.05, 0.1, 1.0, 5.0, 20.0], DT)
+
+    def log_target(q):
+        return -0.5 * jnp.sum((q / scales) ** 2)
+
+    parts, lw, logz, infos = smc_sample(
+        log_target, jax.random.PRNGKey(5), dim=5, num_particles=8192,
+        mutation_steps=6, dtype=DT)
+    w = np.asarray(jax.nn.softmax(lw))
+    p = np.asarray(parts)
+    m = (w[:, None] * p).sum(0)
+    v = (w[:, None] * (p - m) ** 2).sum(0)
+    np.testing.assert_allclose(np.sqrt(v), np.asarray(scales), rtol=0.1)
+    true_logz = float(jnp.sum(jnp.log(scales)) + 5 * 0.5 * np.log(2 * np.pi))
+    assert abs(float(logz) - true_logz) < 0.2
+    # Acceptance settled near the 0.65 target after the first few temps.
+    accs = [float(i.accept_prob) for i in infos[3:]]
+    assert all(0.5 < a < 0.85 for a in accs), accs
