@@ -55,6 +55,10 @@ def center_contract_ladj(x, a, b, c):
 def center_stretch(x, a, b, c):
     """Log-domain closed-form inverse of center_contract (see module doc)."""
     m = jnp.abs(b * x)
+    # Clamp |b x| away from 0: at m == 0 log1p(-exp(-m)) is -inf and
+    # its gradient an artificial 0*inf NaN, though the function is
+    # smooth there (1e-6 is below f32 noise for the result).
+    m = jnp.maximum(m, 1e-6)
     ab = a * b
     log_a_term = jnp.log1p(-jnp.exp(-m))  # -inf at m == 0: fine in logaddexp
     log_b_term = _LOG4 - 2.0 * ab - m

@@ -108,6 +108,10 @@ def _apply_center_contract(t, a, b, c):
 def _apply_center_stretch(t, a, b, c):
     # Log-domain inverse (see bijectors.center_stretch), ladj at output.
     m = jnp.abs(b * t)
+    # Clamp |b x| away from 0: at m == 0 log1p(-exp(-m)) is -inf and
+    # its gradient an artificial 0*inf NaN, though the function is
+    # smooth there (1e-6 is below f32 noise for the result).
+    m = jnp.maximum(m, 1e-6)
     ab = a * b
     em = jnp.exp(-m)
     log_a = jnp.log1p(-em)
@@ -253,7 +257,10 @@ def _fused_packed_impl(static, x_flat, flat_params):
     rows = -(-total // 128)
     rows_padded = -(-rows // tile_m) * tile_m
     pad = rows_padded * 128 - total
-    flat = jnp.pad(x_flat, (0, pad)) if pad else x_flat
+    # Pad with ones, not zeros: several stage gradients are singular at
+    # exactly 0 and padded lanes feed the (discarded) ladj reduction.
+    flat = (jnp.pad(x_flat, (0, pad), constant_values=1.0)
+            if pad else x_flat)
     xt = flat.reshape(rows_padded, 128)
 
     seg = (np.arange(128) // dim)[:, None] == np.arange(spd)[None, :]
@@ -301,6 +308,177 @@ def _fused_packed_op(dim, chain, x_flat):
                               flat_params)
 
 
+def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
+    """Fused backward: one tile pass computes gx AND all param grads.
+
+    The forward is recomputed tile-resident (inputs of every stage stay in
+    VMEM/registers); each stage's backward is emitted by calling `jax.vjp`
+    on the stage body AT TRACE TIME — the AD-generated ops compile into the
+    kernel like any others, so the math is identical to the jnp reference
+    by construction (no hand-derived adjoints to get wrong).
+
+    Per-tile param grads: non-Householder params enter as (1, 128) pattern
+    rows, so their vjp comes back already row-reduced; Householder stages
+    yield a (128, 128) block-diagonal cotangent via the matmul vjp. Each
+    grid step writes its partials to its own output slot; the host sums
+    over tiles and pulls the grads back onto chain leaves by vjp-ing the
+    pattern-row construction.
+    """
+
+    def kernel(x_ref, segT_ref, gy_ref, gladj_ref, *refs):
+        nstages = len(stage_types)
+        n_params_total = sum(nparams_per_stage)
+        prefs = refs[:n_params_total]
+        gx_ref = refs[n_params_total]
+        pgrad_refs = refs[n_params_total + 1:]
+
+        # Forward recompute, storing each stage's input tile.
+        t = x_ref[:]
+        inputs = []
+        i = 0
+        all_params = []
+        for st, np_ in zip(stage_types, nparams_per_stage):
+            params = [prefs[i + j][:] for j in range(np_)]
+            all_params.append(params)
+            i += np_
+            inputs.append(t)
+            if st is Householder:
+                t = jax.lax.dot(t, params[0],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+            else:
+                t, _ = _APPLY[st](t, *params)
+
+        # Ladj cotangent per element: (tile, spd) @ (spd, 128).
+        ce = jax.lax.dot(gladj_ref[:], segT_ref[:],
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        cy = gy_ref[:]
+
+        # Backward sweep; vjp at trace time emits stage adjoints.
+        pg_out = [None] * len(pgrad_refs)
+        pidx = n_params_total
+        for k in range(nstages - 1, -1, -1):
+            st = stage_types[k]
+            np_ = nparams_per_stage[k]
+            pidx -= np_
+            t_in = inputs[k]
+            params = all_params[k]
+            if st is Householder:
+                def f_h(t, B):
+                    return jax.lax.dot(
+                        t, B, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+
+                _, vjp = jax.vjp(f_h, t_in, params[0])
+                ct, cB = vjp(cy)
+                pg_out[pidx] = cB
+            else:
+                def f_e(t, *ps):
+                    y, e = _APPLY[st](t, *ps)
+                    return y, jnp.broadcast_to(e, t.shape)
+
+                _, vjp = jax.vjp(f_e, t_in, *params)
+                grads = vjp((cy, ce))
+                ct = grads[0]
+                for j in range(np_):
+                    pg_out[pidx + j] = grads[1 + j]
+            cy = ct
+
+        gx_ref[:] = cy
+        for ref, val in zip(pgrad_refs, pg_out):
+            ref[:] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fused_packed_bwd_impl(static, x_flat, flat_params, gy_flat, gladj):
+    """Pallas fused backward. Returns (gx_flat, tuple_of_pattern_grads)."""
+    stage_types, nparams, dim = static
+    dtype = x_flat.dtype
+    spd = 128 // dim
+    tile_m = 256
+    total = x_flat.shape[0]
+    n = total // dim
+    rows = -(-total // 128)
+    rows_padded = -(-rows // tile_m) * tile_m
+    num_tiles = rows_padded // tile_m
+
+    pad = rows_padded * 128 - total
+    # Ones-padding for x (see forward); ZERO cotangent padding so padded
+    # lanes contribute nothing to parameter gradients.
+    xt = (jnp.pad(x_flat, (0, pad), constant_values=1.0) if pad else x_flat
+          ).reshape(rows_padded, 128)
+    gyt = (jnp.pad(gy_flat, (0, pad)) if pad else gy_flat
+           ).reshape(rows_padded, 128)
+    gl = jnp.pad(gladj.astype(jnp.float32),
+                 (0, rows_padded * spd - n)).reshape(rows_padded, spd)
+
+    segT = (np.arange(spd)[:, None] == (np.arange(128) // dim)[None, :])
+    segT = jnp.asarray(segT, jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((tile_m, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((spd, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, spd), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for p in flat_params:
+        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((rows_padded, 128), dtype)]
+    out_specs = [pl.BlockSpec((tile_m, 128), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    for p in flat_params:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((num_tiles,) + p.shape, jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1,) + p.shape,
+                         lambda i: (i,) + (0,) * len(p.shape),
+                         memory_space=pltpu.VMEM))
+
+    kernel = _build_bwd_kernel(stage_types, nparams, dim)
+
+    # Kernel writes (1, *p.shape) blocks; wrap to match by reshaping refs —
+    # pallas delivers the block with the leading 1, so write val[None].
+    def kernel_wrapped(x_ref, segT_ref, gy_ref, gladj_ref, *refs):
+        npar = len(flat_params)
+        prefs = refs[:npar]
+        gx_ref = refs[npar]
+        praw = refs[npar + 1:]
+
+        class _W:
+            def __init__(self, ref):
+                self.ref = ref
+
+            def __setitem__(self, idx, val):
+                self.ref[0] = val
+
+        wrapped = tuple(_W(r) for r in praw)
+        # Reuse the main kernel body with wrapped param-grad refs.
+        kernel(x_ref, segT_ref, gy_ref, gladj_ref, *prefs, gx_ref,
+               *wrapped)
+
+    out = pl.pallas_call(
+        kernel_wrapped,
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=jax.default_backend() == "cpu",
+    )(xt, segT, gyt, gl, *flat_params)
+
+    gx = out[0].reshape(-1)[:total]
+    pattern_grads = tuple(jnp.sum(o, axis=0) for o in out[1:])
+    return gx, pattern_grads
+
+
 def _packed_jnp_forward(stage_types, nparams, dim, x_flat, flat_params):
     """Pure-jnp mirror of the kernel body on the PACKED layout.
 
@@ -340,8 +518,32 @@ def _fused_packed_fwd(dim, chain, x_flat):
     return _fused_packed_op(dim, chain, x_flat), (chain, x_flat)
 
 
+# When True (TPU default), the backward also runs as a fused Pallas kernel;
+# on CPU the packed-jnp AD path is used (interpret-mode kernels are slow).
+# Set to "force" to use the kernel on CPU too (interpret mode, for tests).
+_PALLAS_BACKWARD = True
+
+
 def _fused_packed_bwd(dim, res, g):
     chain, x_flat = res
+    gy_flat, gladj = g
+
+    if _PALLAS_BACKWARD == "force" or (
+            _PALLAS_BACKWARD and jax.default_backend() == "tpu"):
+        static_types, nparams, flat_params = _chain_static_and_params(
+            chain, dim, x_flat.dtype)
+        gx, pattern_grads = _fused_packed_bwd_impl(
+            (static_types, nparams, dim), x_flat, flat_params,
+            gy_flat, gladj)
+        # Pull pattern-row/blockdiag grads back onto the chain leaves by
+        # vjp-ing the (differentiable) pattern construction.
+        _, vjp_params = jax.vjp(
+            lambda c: _chain_static_and_params(c, dim, x_flat.dtype)[2],
+            chain)
+        gc, = vjp_params(tuple(
+            pg.astype(fp.dtype)
+            for pg, fp in zip(pattern_grads, flat_params)))
+        return gc, gx.astype(x_flat.dtype)
 
     def ref(c, xf):
         stage_types, nparams, flat_params = _chain_static_and_params(

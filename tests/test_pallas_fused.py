@@ -109,3 +109,28 @@ def test_householder_blockdiag_orthogonality():
     np.testing.assert_allclose(np.sum(np.asarray(y) ** 2, -1),
                                np.sum(np.asarray(x) ** 2, -1), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ladj), np.zeros(256))
+
+
+def test_pallas_backward_kernel_matches_jnp():
+    """The fused Pallas backward (forced into interpret mode on CPU) must
+    match the packed-jnp AD path for both param and input grads."""
+    from enflows_tpu.ops.pallas import elementwise as EW
+
+    chain = full_chain(2)
+    x_flat = jax.random.normal(jax.random.PRNGKey(8), (512,), F)
+
+    def loss(c, xf):
+        y, l = fused_forward_and_ladj_packed(c, xf, 2)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(l * l)
+
+    old = EW._PALLAS_BACKWARD
+    try:
+        EW._PALLAS_BACKWARD = "force"
+        gp = jax.grad(loss, argnums=(0, 1))(chain, x_flat)
+        EW._PALLAS_BACKWARD = False
+        gj = jax.grad(loss, argnums=(0, 1))(chain, x_flat)
+    finally:
+        EW._PALLAS_BACKWARD = old
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gj)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
