@@ -30,10 +30,18 @@ per-sample ladj segment-reduction over runs of d lanes is one
 (128, 128/d) 0/1 matmul per tile (HIGHEST precision — the MXU's native
 bf16 multiply costs 1e-3 absolute ladj error otherwise).
 
-Gradients: `jax.custom_vjp` whose backward runs the jnp reference chain —
-identical math, so the fused forward serves loss evals while XLA
-differentiates the reference formulation. (A fused Pallas backward is the
-planned next optimization.)
+Gradients: `jax.custom_vjp`. On TPU the backward is ALSO a fused Pallas
+kernel (`_build_bwd_kernel`): the forward recomputes tile-resident and each
+stage's adjoint is emitted by calling `jax.vjp` on the stage body at trace
+time — identical math to the jnp reference by construction. On CPU (and as
+a fallback) the backward differentiates a packed-layout jnp mirror
+(`_packed_jnp_forward`).
+
+For event dims that do NOT divide 128 (e.g. the 50D BASELINE config), a
+standard-layout fused path (`_fused_rowwise_*`) runs the same stage bodies
+on (TILE_N, d) tiles — it forgoes the packed layout's full lane
+utilization (d/128-padded lanes, matching what XLA pays anyway) but keeps
+the single-pass fusion and shared transcendentals.
 """
 from __future__ import annotations
 
@@ -569,15 +577,144 @@ def fused_forward_and_ladj_packed(chain: Bijector, x_flat: jax.Array,
     return _fused_packed_op(dim, chain, x_flat)
 
 
-def fused_forward_and_ladj(chain: Bijector, x: jax.Array):
+def _rowwise_stage_inputs(chain: Bijector, dim: int, dtype):
+    """Stage params in their natural shapes for the (TILE_N, d) path:
+    per-dim rows (1, d) and dense (d, d) Q matrices for Householder."""
+    stages = chain.stages if isinstance(chain, Chain) else (chain,)
+    stage_types, nparams, flat_params = [], [], []
+    for s in stages:
+        stage_types.append(type(s))
+        if isinstance(s, Householder):
+            V = s.V[None, :] if s.V.ndim == 1 else s.V
+            QT = householder_matrix(V, dtype=jnp.float32).T.astype(dtype)
+            nparams.append(1)
+            flat_params.append(QT)                      # (d, d)
+        else:
+            ps = _stage_params(s)
+            nparams.append(len(ps))
+            for p in ps:
+                p = jnp.asarray(p, dtype)
+                if p.ndim == 0:
+                    p = jnp.full((dim,), p, dtype)
+                flat_params.append(p[None, :])          # (1, d)
+    return tuple(stage_types), tuple(nparams), tuple(flat_params)
+
+
+def _build_rowwise_kernel(stage_types, nparams_per_stage, dim):
+    """Standard-layout kernel: tiles are (TILE_N, d) — one sample per row.
+    Same stage bodies; ladj reduction is a plain lane sum per row."""
+
+    def kernel(x_ref, *refs):
+        y_ref, ladj_ref = refs[-2], refs[-1]
+        prefs = refs[:-2]
+        t = x_ref[:]
+        acc = None
+        i = 0
+        for st, np_ in zip(stage_types, nparams_per_stage):
+            params = [prefs[i + j][:] for j in range(np_)]
+            i += np_
+            if st is Householder:
+                t = jax.lax.dot(t, params[0],
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                continue
+            t, elem = _APPLY[st](t, *params)
+            elem = jnp.broadcast_to(elem, t.shape)
+            acc = elem if acc is None else acc + elem
+        y_ref[:] = t
+        if acc is None:
+            ladj_ref[:] = jnp.zeros_like(ladj_ref)
+        else:
+            ladj_ref[:] = jnp.sum(acc, axis=1, keepdims=True)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fused_rowwise_impl(static, x, flat_params):
+    stage_types, nparams, dim = static
+    dtype = x.dtype
+    n = x.shape[0]
+    tile_n = 512
+    n_padded = -(-n // tile_n) * tile_n
+    xp = jnp.pad(x, ((0, n_padded - n), (0, 0)), constant_values=1.0) \
+        if n_padded != n else x
+
+    in_specs = [pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for p in flat_params:
+        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_specs = (
+        pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    kernel = _build_rowwise_kernel(stage_types, nparams, dim)
+    y, ladj = pl.pallas_call(
+        kernel,
+        grid=(n_padded // tile_n,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_padded, dim), dtype),
+            jax.ShapeDtypeStruct((n_padded, 1), jnp.float32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(xp, *flat_params)
+    return y[:n], ladj[:n, 0].astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_rowwise_op(dim, chain, x):
+    static_types, nparams, flat_params = _rowwise_stage_inputs(
+        chain, dim, x.dtype)
+    return _fused_rowwise_impl((static_types, nparams, dim), x,
+                               flat_params)
+
+
+def _fused_rowwise_fwd(dim, chain, x):
+    return _fused_rowwise_op(dim, chain, x), (chain, x)
+
+
+def _fused_rowwise_bwd(dim, res, g):
+    chain, x = res
+    _, vjp = jax.vjp(lambda c, xx: c.forward_and_ladj(xx), chain, x)
+    return vjp(g)
+
+
+_fused_rowwise_op.defvjp(_fused_rowwise_fwd, _fused_rowwise_bwd)
+
+
+def is_rowwise_fusible(chain: Bijector, dim: int, dtype=jnp.float32) -> bool:
+    """Standard-layout fused path: any d, f32/bf16, fusible stage kinds."""
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
+        return False
+    if jax.config.jax_enable_x64 and jax.default_backend() == "tpu":
+        return False
+    stages = chain.stages if isinstance(chain, Chain) else (chain,)
+    return all(isinstance(s, FUSIBLE_KINDS) for s in stages)
+
+
+def fused_forward_and_ladj(chain: Bijector, x: jax.Array,
+                           allow_rowwise: bool = False):
     """Fused (y, per-sample ladj) for a standard-layout (n, d) batch.
 
-    NOTE: pays one tiled-layout shuffle each way at the kernel boundary
-    (see module docstring) — prefer the packed variant in hot loops.
-    Falls back to the jnp path when the chain/shape is unsupported.
+    d | 128: packed path after a layout shuffle — prefer calling the packed
+    variant directly in hot loops. Other d: jnp fallback by default —
+    measured on v5e, the rowwise kernel LOSES to XLA's own fusion on this
+    layout (0.70x at d=50, n=128K: both pay the d/128 lane padding, and
+    XLA schedules the padded elementwise chain better than Mosaic here),
+    so it stays opt-in via ``allow_rowwise`` for experimentation.
     """
-    if x.ndim != 2 or not is_fusible_chain(chain, x.shape[-1], x.dtype):
+    if x.ndim != 2:
         return chain.forward_and_ladj(x)
     n, dim = x.shape
-    y_flat, ladj = _fused_packed_op(dim, chain, x.reshape(-1))
-    return y_flat.reshape(n, dim), ladj
+    if is_fusible_chain(chain, dim, x.dtype):
+        y_flat, ladj = _fused_packed_op(dim, chain, x.reshape(-1))
+        return y_flat.reshape(n, dim), ladj
+    if allow_rowwise and is_rowwise_fusible(chain, dim, x.dtype):
+        return _fused_rowwise_op(dim, chain, x)
+    return chain.forward_and_ladj(x)

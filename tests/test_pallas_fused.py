@@ -85,13 +85,19 @@ def test_gradients_match_reference():
 
 def test_fallbacks():
     chain = full_chain(2)
-    # d = 3 does not divide 128 -> jnp fallback, still correct.
+    # d = 3 does not divide 128 -> jnp fallback by default, still correct.
     c3 = full_chain(3)
     assert not is_fusible_chain(c3, 3, F)
     x3 = jax.random.normal(jax.random.PRNGKey(4), (40, 3), F)
     y1, l1 = c3.forward_and_ladj(x3)
     y2, l2 = fused_forward_and_ladj(c3, x3)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # Opt-in rowwise kernel path agrees too (interpret mode on CPU).
+    y4, l4 = fused_forward_and_ladj(c3, x3, allow_rowwise=True)
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
+                               rtol=2e-4, atol=2e-4)
     # f64 falls back (Mosaic has no f64 path).
     assert not is_fusible_chain(chain, 2, jnp.float64)
     x64 = jax.random.normal(jax.random.PRNGKey(5), (40, 2), jnp.float64)
