@@ -80,16 +80,18 @@ def main():
     def grad_step(x):
         return jax.grad(mvnormal_negll)(flow, x)
 
+    from enflows_tpu.ops.pallas.elementwise import fused_negll_value_and_grad
+
     @jax.jit
-    def grad_step_packed(x_flat):
-        return jax.grad(
-            lambda f, xf: mvnormal_negll_packed(f, xf, dim))(flow, x_flat)
+    def grad_step_fused(x_flat):
+        return fused_negll_value_and_grad(flow, x_flat, dim)
 
     dt_g = measure(grad_step, x, iters=10)
-    dt_gp = measure(grad_step_packed, x_flat, iters=10)
-    print(f"[bench] negll grad: std {dt_g*1e3:.3f} ms "
-          f"({batch/dt_g/1e6:.0f}M samples/s) | packed {dt_gp*1e3:.3f} ms "
-          f"({batch/dt_gp/1e6:.0f}M samples/s)", file=sys.stderr)
+    dt_gp = measure(grad_step_fused, x_flat, iters=10)
+    print(f"[bench] negll value+grad: std {dt_g*1e3:.3f} ms "
+          f"({batch/dt_g/1e6:.0f}M samples/s) | single-pass kernel "
+          f"{dt_gp*1e3:.3f} ms ({batch/dt_gp/1e6:.0f}M samples/s)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "flow_fwd_logdet_evals_per_s_per_chip",

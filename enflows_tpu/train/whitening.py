@@ -130,13 +130,20 @@ def optimize_whitening(
                      and is_fusible_chain(initial_flow, dim,
                                           samples.dtype))
     if use_fused:
-        # Packed hot loop: batches become flat rows; the fused Pallas
-        # kernel serves the forward and the packed-jnp formulation the
-        # backward (see ops.pallas.elementwise).
+        # Packed hot loop: batches become flat rows and loss+grads come
+        # from the single-pass fused kernel (ops.pallas.elementwise.
+        # fused_negll_value_and_grad) — one tile sweep per step.
+        from ..ops.pallas.elementwise import fused_negll_value_and_grad
+
         batches = batches.reshape(nbatches, batch_size * dim)
-        step = make_train_step(
-            optimizer,
-            loss_fn=lambda f, xf: mvnormal_negll_packed(f, xf, dim))
+
+        def step(carry, X):
+            flow, opt_state = carry
+            negll, grads = fused_negll_value_and_grad(flow, X, dim)
+            updates, opt_state = optimizer.update(grads, opt_state, flow)
+            flow = optax.apply_updates(flow, updates)
+            flow = flow.canonicalize()
+            return (flow, opt_state), negll
     else:
         step = make_train_step(optimizer)
 

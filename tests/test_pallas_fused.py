@@ -140,3 +140,40 @@ def test_pallas_backward_kernel_matches_jnp():
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gj)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_negll_value_and_grad():
+    """Single-pass loss+grad kernel vs value_and_grad of the packed loss."""
+    from enflows_tpu.ops.pallas.elementwise import fused_negll_value_and_grad
+    from enflows_tpu.train import mvnormal_negll_packed
+
+    chain = full_chain(2)
+    for n in [64, 1000, 12345]:
+        x_flat = jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(9), n), (2 * n,), F)
+        v1, g1 = fused_negll_value_and_grad(chain, x_flat, 2)
+        v2, g2 = jax.value_and_grad(
+            lambda c: mvnormal_negll_packed(c, x_flat, 2))(chain)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+
+def test_trainer_fused_path_matches_std():
+    """optimize_whitening with the fused kernel path converges to the same
+    result as the standard path (same data, same optimizer)."""
+    import optax
+    from enflows_tpu.train import optimize_whitening
+
+    chain = full_chain(2)
+    X = 1.5 * jax.random.normal(jax.random.PRNGKey(10), (66000, 2), F)
+    rf = optimize_whitening(X, chain, optax.adagrad(0.05), nbatches=1,
+                            nepochs=3, use_fused=True)
+    rs = optimize_whitening(X, chain, optax.adagrad(0.05), nbatches=1,
+                            nepochs=3, use_fused=False)
+    np.testing.assert_allclose(np.asarray(rf.negll_history),
+                               np.asarray(rs.negll_history), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(rf.result), jax.tree.leaves(rs.result)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
