@@ -106,3 +106,14 @@ def test_flow_distribution_logpdf_consistency():
     key = jax.random.PRNGKey(5)
     x, lp = dist.sample_and_logpdf(key, (256,), dim=2, dtype=jnp.float64)
     np.testing.assert_allclose(dist.logpdf(x), lp, rtol=1e-7)
+
+
+def test_johnson_su_distributions_api_surface():
+    # minimum/maximum/params/location/scale (reference johnson_trafo.jl:15-22).
+    d = JohnsonSU.init(gamma=2.0, delta=3.0, xi=1.0, lam=1.5,
+                      dtype=jnp.float64)
+    assert float(d.minimum()) == -np.inf and float(d.maximum()) == np.inf
+    g, de, xi, lam = d.params()
+    assert (float(g), float(de), float(xi), float(lam)) == (2.0, 3.0, 1.0, 1.5)
+    np.testing.assert_allclose(float(d.location()), float(d.mean()))
+    np.testing.assert_allclose(float(d.scale()), float(d.var()))

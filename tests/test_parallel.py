@@ -120,3 +120,27 @@ def test_shard_chains_placement(mesh):
     x = jnp.zeros((32, 4))
     y = shard_chains(x, mesh)
     assert y.sharding.spec == P("chains")
+
+
+def test_whitening_trainer_mesh_path(mesh):
+    # Data-parallel whitening: batch axis sharded; result matches the
+    # unsharded run (same data/optimizer; XLA inserts the grad psum).
+    import optax
+    from enflows_tpu import ScaleShift
+    from enflows_tpu.train import optimize_whitening
+
+    X = 2.0 * jax.random.normal(jax.random.PRNGKey(9), (4096, 2), DT) + 1.0
+    flow = ScaleShift(a=jnp.ones(2, DT), b=jnp.zeros(2, DT))
+    # mesh axis name must match the trainer's batch_axis kwarg
+    from enflows_tpu.parallel import make_mesh as _mm
+    m = _mm({"batch": 8}, axis_name="batch")
+    r_sh = optimize_whitening(X, flow, optax.adagrad(0.1), nbatches=8,
+                              nepochs=4, mesh=m)
+    r_un = optimize_whitening(X, flow, optax.adagrad(0.1), nbatches=8,
+                              nepochs=4)
+    np.testing.assert_allclose(np.asarray(r_sh.negll_history),
+                               np.asarray(r_un.negll_history), rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(r_sh.result),
+                    jax.tree.leaves(r_un.result)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10)
