@@ -6,7 +6,7 @@ from .adaptation import (
     da_init, da_update, welford_init, welford_update, welford_update_batch,
     welford_variance, build_schedule,
 )
-from .diagnostics import ess, ess_per_dim, split_rhat, split_rhat_per_dim
+from .diagnostics import ess, ess_per_dim, split_rhat, split_rhat_per_dim, bfmi
 
 __all__ = [
     "HMCState", "HMCInfo", "hmc_kernel", "init_state", "leapfrog",
@@ -15,5 +15,5 @@ __all__ = [
     "sample", "window_adaptation", "run_chains", "WarmupResult",
     "da_init", "da_update", "welford_init", "welford_update",
     "welford_update_batch", "welford_variance", "build_schedule",
-    "ess", "ess_per_dim", "split_rhat", "split_rhat_per_dim",
+    "ess", "ess_per_dim", "split_rhat", "split_rhat_per_dim", "bfmi",
 ]

@@ -74,3 +74,15 @@ def split_rhat(samples) -> float:
 def split_rhat_per_dim(samples) -> np.ndarray:
     x = np.asarray(samples)
     return np.array([split_rhat(x[..., d]) for d in range(x.shape[-1])])
+
+
+def bfmi(energies) -> float:
+    """Bayesian fraction of missing information (Betancourt 2016).
+
+    energies: (chains, steps) per-transition energies (e.g. -logp of the
+    accepted states). Values << 0.3 indicate the momentum resampling can't
+    explore the energy marginal — heavy tails the mass matrix can't fix.
+    """
+    e = np.asarray(energies, np.float64)
+    de = np.diff(e, axis=1)
+    return float(np.mean(de ** 2) / np.var(e))

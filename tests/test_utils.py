@@ -115,3 +115,55 @@ def test_cli_train_smoke(capsys):
                "--train.nbatches=10"])
     assert rc == 0
     assert "final loss" in capsys.readouterr().out
+
+
+def test_cli_sample_smc(capsys):
+    from enflows_tpu.cli import main
+    rc = main(["sample", "--sampler.algorithm=smc", "--flow.dim=2",
+               "--sampler.num_particles=1024"])
+    assert rc == 0
+    assert "logZ" in capsys.readouterr().out
+
+
+def test_cli_sample_hmc(capsys):
+    from enflows_tpu.cli import main
+    rc = main(["sample", "--sampler.algorithm=hmc", "--flow.dim=2",
+               "--sampler.num_warmup=100", "--sampler.num_samples=100",
+               "--sampler.num_chains=4"])
+    assert rc == 0
+    assert "rhat" in capsys.readouterr().out
+
+
+def test_cli_train_elbo(capsys):
+    from enflows_tpu.cli import main
+    rc = main(["train", "--train.objective=elbo", "--flow.dim=1",
+               "--train.nsteps=50"])
+    assert rc == 0
+    assert "final loss" in capsys.readouterr().out
+
+
+def test_profiling_utils(tmp_path):
+    from enflows_tpu.utils import trace, annotate, StepTimer
+
+    with trace(None):            # no-op path
+        pass
+    with trace(str(tmp_path / "prof")):
+        with annotate("test_region"):
+            jax.block_until_ready(jnp.ones(8) * 2)
+    timer = StepTimer().start()
+    x = jnp.ones(8)
+    for _ in range(5):
+        x = x * 2
+        timer.tick()
+    assert timer.rate(sync_on=x) > 0
+
+
+def test_bfmi_diagnostic():
+    from enflows_tpu.mcmc import bfmi
+    rng = np.random.default_rng(0)
+    # iid energies: BFMI ~ 2 (independent increments)
+    e_good = rng.normal(size=(4, 2000))
+    assert 1.5 < bfmi(e_good) < 2.5
+    # sticky energies: low BFMI
+    e_bad = np.cumsum(rng.normal(size=(4, 2000)) * 0.05, axis=1)
+    assert bfmi(e_bad) < 0.3
