@@ -83,6 +83,38 @@ def bench_preconditioned(num_chains, num_warmup=300, num_samples=1000):
     return ess.min() / t_steady
 
 
+def bench_chees(num_chains, num_warmup=500, num_samples=1000):
+    """ChEES-HMC on the same 2D warped target: the accelerator-native
+    sampler's min-ESS/s vs NUTS (mcmc/chees.py design notes)."""
+    logp, _ = example_2d_target()
+    logp1 = lambda q: logp(q)
+
+    def run(seed):
+        s, _, stats = sample(logp1, jax.random.PRNGKey(seed), dim=2,
+                             algorithm="chees", num_chains=num_chains,
+                             num_warmup=num_warmup,
+                             num_samples=num_samples)
+        jax.block_until_ready(s)
+        return s, stats
+
+    t0 = time.time()
+    run(0)
+    t_total = time.time() - t0
+    t0 = time.time()
+    samples, stats = run(1)
+    t_steady = time.time() - t0
+
+    ess = ess_per_dim(samples)
+    div = int(np.sum(np.asarray(stats.divergent)))
+    grads = int(np.sum(np.asarray(stats.num_steps))) * num_chains
+    print(f"[chees-raw] chains={num_chains} warm+samp {t_steady:.2f}s "
+          f"(first run incl. compile {t_total:.2f}s) min-ESS {ess.min():.0f}"
+          f" div {div} sampling-grad-evals {grads/1e6:.1f}M "
+          f"traj {float(stats.trajectory_length):.3f} "
+          f"step {float(stats.step_size):.4f}", file=sys.stderr)
+    return ess.min() / t_steady
+
+
 def bench_leapfrog(num_chains=8192, dim=50, num_steps=64, iters=20):
     """Raw per-chip leapfrog+log-prob throughput on a 50D Gaussian."""
     prec = jnp.eye(dim, dtype=jnp.float32)
@@ -122,10 +154,12 @@ def main():
     args = ap.parse_args()
 
     ess_raw, _ = bench_nuts(args.chains)
+    ess_chees = bench_chees(args.chains)
     ess_pre = bench_preconditioned(args.chains)
     lf = bench_leapfrog()
     print(json.dumps({
         "nuts_raw_min_ess_per_s": round(ess_raw, 1),
+        "chees_raw_min_ess_per_s": round(ess_chees, 1),
         "nuts_precond_min_ess_per_s": round(ess_pre, 1),
         "leapfrog_steps_per_s": round(lf),
     }))

@@ -6,6 +6,10 @@ from .adaptation import (
     da_init, da_update, welford_init, welford_update, welford_update_batch,
     welford_variance, build_schedule,
 )
+from .chees import (
+    chees_sample, chees_warmup, run_chains_chees, hmc_proposal_kernel,
+    ChEESWarmupResult, ChEESSampleStats,
+)
 from .diagnostics import ess, ess_per_dim, split_rhat, split_rhat_per_dim, bfmi
 
 __all__ = [
@@ -15,5 +19,7 @@ __all__ = [
     "sample", "window_adaptation", "run_chains", "WarmupResult",
     "da_init", "da_update", "welford_init", "welford_update",
     "welford_update_batch", "welford_variance", "build_schedule",
+    "chees_sample", "chees_warmup", "run_chains_chees",
+    "hmc_proposal_kernel", "ChEESWarmupResult", "ChEESSampleStats",
     "ess", "ess_per_dim", "split_rhat", "split_rhat_per_dim", "bfmi",
 ]

@@ -143,8 +143,19 @@ def sample(logdensity_fn: Callable, key, *, dim: int,
     """Adaptive MCMC: windowed warmup then sampling.
 
     Returns (samples (chains, num_samples, dim), final_states, stats).
-    ``logdensity_fn``: (dim,) -> scalar. ``algorithm``: 'nuts' | 'hmc'.
+    ``logdensity_fn``: (dim,) -> scalar.
+    ``algorithm``: 'nuts' | 'hmc' | 'chees' (accelerator-native adaptive
+    fixed-length HMC, see mcmc.chees — prefer it for many-chain TPU runs;
+    it uses its own optimal acceptance target 0.651, ignoring
+    ``target_accept``; call chees_sample directly to override).
     """
+    if algorithm == "chees":
+        from .chees import chees_sample
+        return chees_sample(
+            logdensity_fn, key, dim=dim, num_chains=num_chains,
+            num_warmup=num_warmup, num_samples=num_samples,
+            initial_position=initial_position,
+            initial_step_size=initial_step_size, dtype=dtype)
     if initial_position is None:
         key, k0 = jax.random.split(key)
         initial_position = 0.1 * jax.random.normal(

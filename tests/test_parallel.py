@@ -116,6 +116,25 @@ def test_sharded_mcmc_moments_and_layout(mesh):
     assert np.isfinite(float(stats.step_size))
 
 
+def test_sharded_chees_moments(mesh):
+    """ChEES with the chains axis sharded: the cross-chain ChEES/acceptance
+    means lower to psums; adaptation scalars stay replicated and the
+    dynamic leapfrog trip count is a replicated scalar (no divergence)."""
+    cov = jnp.asarray([[2.0, 1.2], [1.2, 1.0]], DT)
+    prec = jnp.linalg.inv(cov)
+
+    def logp(q):
+        return -0.5 * q @ prec @ q
+
+    samples, _, stats = sample_sharded(
+        logp, jax.random.PRNGKey(5), mesh, dim=2, num_chains=64,
+        num_warmup=300, num_samples=300, dtype=DT, algorithm="chees")
+    s = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.25)
+    assert np.isfinite(float(stats.step_size))
+    assert float(stats.trajectory_length) > 0.0
+
+
 def test_shard_chains_placement(mesh):
     x = jnp.zeros((32, 4))
     y = shard_chains(x, mesh)
