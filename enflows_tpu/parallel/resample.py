@@ -15,14 +15,25 @@ Design (inside `shard_map`):
    slot range [d*n_local, (d+1)*n_local) from the global CDF. The CDF is
    assembled from an `all_gather` of per-shard weight partial sums (K
    scalars) plus the local cumulative weights.
-4. Particle exchange: ancestry is contiguous and monotone, so each shard's
-   sources span a short run of devices; this implementation fetches via a
-   tiled `all_gather` of particles (bandwidth N*dim per device — the right
-   trade below ~10^6 x 100-dim particles, which covers every BASELINE.json
-   config) and gathers rows locally. A ppermute ring exchanging only the
-   needed contiguous slices is the planned upgrade path for larger N*dim;
-   the ancestry computation (steps 1-3) already never materializes global
-   weights.
+4. Particle exchange, two strategies sharing the same ancestry math:
+
+   * ``gather`` — one tiled `all_gather` of particles plus a local row
+     gather. Minimum latency (XLA lowers it to a bidirectional ICI ring
+     with overlapped steps), but every device materializes the full
+     (n_global, dim) array. Right below ~10^6 x 100-dim f32 particles
+     (≤ ~0.4 GB of HBM), which covers every BASELINE.json config.
+   * ``ring`` — a k-step `ppermute` ring that rotates each shard's
+     (n_local, dim) block around the mesh; at each hop every shard copies
+     the rows it needs out of the visiting block with a masked gather.
+     Same total ICI bytes as the all_gather (each block traverses the
+     whole ring) but peak per-device memory is O(n_local x dim) instead of
+     O(n_global x dim), so particle counts can scale with the pod rather
+     than with a single chip's HBM.
+
+   ``sharded_systematic_resample`` auto-selects: ``ring`` once the
+   gathered array would exceed ``_GATHER_BYTES_LIMIT`` (256 MB), ``gather``
+   otherwise; pass ``method=`` to force one. The ancestry computation
+   (steps 1-3) never materializes global weights either way.
 """
 from __future__ import annotations
 
@@ -32,13 +43,48 @@ from jax import lax
 
 from .collectives import broadcast_from_zero
 
+_GATHER_BYTES_LIMIT = 256 * 1024 * 1024
+
+
+def _ring_fetch(particles, anc, n_local, k, axis_name):
+    """Fetch global rows ``anc`` via a k-step ppermute ring.
+
+    Rotates each shard's block one hop per step (device i sends to i-1, so
+    after s steps shard d holds the block that originated on (d+s) % k) and
+    copies matching rows out with a masked gather. Peak memory: two blocks.
+    """
+    my_dev = lax.axis_index(axis_name)
+    perm = [(i, (i - 1) % k) for i in range(k)]
+
+    def body(s, carry):
+        out, block = carry
+        owner = (my_dev + s) % k
+        rel = anc - owner * n_local
+        hit = (rel >= 0) & (rel < n_local)
+        rows = jnp.take(block, jnp.clip(rel, 0, n_local - 1), axis=0)
+        out = jnp.where(hit[:, None], rows, out)
+        # Rotate unconditionally: a collective under a dynamic cond can
+        # deadlock if XLA can't prove the predicate uniform; one wasted
+        # final hop out of k is noise.
+        block = lax.ppermute(block, axis_name, perm)
+        return out, block
+
+    out = jnp.zeros_like(particles)
+    if k == 1:
+        rel = jnp.clip(anc, 0, n_local - 1)
+        return jnp.take(particles, rel, axis=0)
+    out, _ = lax.fori_loop(0, k, body, (out, particles))
+    return out
+
 
 def sharded_systematic_resample(key, log_weights, particles,
-                                axis_name: str = "chains"):
+                                axis_name: str = "chains",
+                                method: str | None = None):
     """Systematic resampling of sharded particles; call inside shard_map.
 
     key: identical PRNG key on every shard (fold the step index, not the
     shard index). log_weights (n_local,), particles (n_local, dim).
+    method: None (auto), "gather", or "ring" — see module docstring.
     Returns resampled (n_local, dim) for this shard's slot range.
     """
     n_local = log_weights.shape[0]
@@ -73,7 +119,14 @@ def sharded_systematic_resample(key, log_weights, particles,
     anc = jnp.searchsorted(global_cdf, pts, side="left")
     anc = jnp.clip(anc, 0, n_global - 1)
 
-    # 4. Fetch ancestor rows (gathered exchange; see module docstring).
+    # 4. Fetch ancestor rows (see module docstring for the two strategies).
+    if method is None:
+        gathered_bytes = n_global * particles.shape[-1] * particles.dtype.itemsize
+        method = "ring" if gathered_bytes > _GATHER_BYTES_LIMIT else "gather"
+    if method == "ring":
+        return _ring_fetch(particles, anc, n_local, k, axis_name)
+    if method != "gather":
+        raise ValueError(f"unknown resample exchange method: {method!r}")
     all_particles = lax.all_gather(particles, axis_name, axis=0,
                                    tiled=True)                 # (n_global, d)
     return jnp.take(all_particles, anc, axis=0)

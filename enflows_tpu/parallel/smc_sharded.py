@@ -49,6 +49,7 @@ def make_sharded_smc_step(log_base: Callable, log_target: Callable,
                           mutation_steps: int = 5, leapfrog_steps: int = 10,
                           ess_target: float = 0.5,
                           resample_threshold: float = 0.5,
+                          resample_method: str | None = None,
                           target_accept: float = 0.65):
     """Build the jitted sharded one-temperature step:
     (key, state) -> (state, info), with state.particles/log_weights sharded
@@ -102,7 +103,8 @@ def make_sharded_smc_step(log_base: Callable, log_target: Callable,
 
         def do_res(args):
             lw, parts = args
-            new = sharded_systematic_resample(k_res, lw, parts, axis_name)
+            new = sharded_systematic_resample(k_res, lw, parts, axis_name,
+                                              method=resample_method)
             return jnp.zeros_like(lw), new
 
         log_weights, particles = lax.cond(

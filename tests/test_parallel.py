@@ -77,6 +77,27 @@ def test_sharded_resampler_matches_expectations(mesh):
                    np.arange(n)).all()
 
 
+def test_ring_exchange_matches_gather(mesh):
+    # The O(n_local)-memory ppermute ring must produce bit-identical rows
+    # to the all_gather exchange (same ancestry, different transport).
+    n, dim = 256, 3
+    key = jax.random.PRNGKey(11)
+    lw = jax.random.normal(key, (n,), DT) * 2.0
+    parts = jax.random.normal(jax.random.PRNGKey(12), (n, dim), DT)
+    sh = chains_sharding(mesh)
+
+    def run(method):
+        f = jax.jit(shard_map(
+            lambda k, w, p: sharded_systematic_resample(
+                k, w, p, method=method),
+            mesh=mesh, in_specs=(P(), P("chains"), P("chains")),
+            out_specs=P("chains"), check_vma=False))
+        return np.asarray(f(jax.random.PRNGKey(3), jax.device_put(lw, sh),
+                            jax.device_put(parts, sh)))
+
+    np.testing.assert_array_equal(run("ring"), run("gather"))
+
+
 def test_sharded_smc_matches_single_device(mesh):
     mu = jnp.asarray([3.0, -2.0], DT)
 
