@@ -142,7 +142,8 @@ def hmc_proposal_kernel(logdensity_fn: Callable,
             grad=jnp.where(accepted, grad_new, state.grad),
         )
         info = ChEESInfo(accept_prob=accept_prob, accepted=accepted,
-                         divergent=divergent, energy=energy1,
+                         divergent=divergent,
+                         energy=jnp.where(accepted, energy1, energy0),
                          q_prop=q_new, v_prop=p_new * inv_mass_diag,
                          num_steps=num_steps)
         return new_state, info
@@ -257,6 +258,8 @@ class ChEESSampleStats(NamedTuple):
     step_size: jax.Array
     trajectory_length: jax.Array
     inv_mass_diag: jax.Array
+    energy: jax.Array         # (chains, steps) total H at accepted states,
+                              # chains-leading to feed diagnostics.bfmi
 
 
 def run_chains_chees(logdensity_fn: Callable, states: HMCState, key,
@@ -281,14 +284,15 @@ def run_chains_chees(logdensity_fn: Callable, states: HMCState, key,
         states, info = vkernel(keys, states, step_size, inv_mass_diag,
                                num_steps)
         return states, (states.q, info.accept_prob, info.divergent,
-                        num_steps)
+                        num_steps, info.energy)
 
-    states, (qs, acc, div, nsteps) = lax.scan(
+    states, (qs, acc, div, nsteps, energy) = lax.scan(
         step, states, (jnp.arange(num_samples), jitter))
     stats = ChEESSampleStats(accept_prob=acc, divergent=div,
                              num_steps=nsteps, step_size=step_size,
                              trajectory_length=trajectory_length,
-                             inv_mass_diag=inv_mass_diag)
+                             inv_mass_diag=inv_mass_diag,
+                             energy=jnp.swapaxes(energy, 0, 1))
     return jnp.swapaxes(qs, 0, 1), states, stats
 
 

@@ -79,9 +79,11 @@ def split_rhat_per_dim(samples) -> np.ndarray:
 def bfmi(energies) -> float:
     """Bayesian fraction of missing information (Betancourt 2016).
 
-    energies: (chains, steps) per-transition energies (e.g. -logp of the
-    accepted states). Values << 0.3 indicate the momentum resampling can't
-    explore the energy marginal — heavy tails the mass matrix can't fix.
+    energies: (chains, steps) per-transition total Hamiltonian energies at
+    the accepted states (``HMCInfo.energy`` / ``NUTSInfo.energy`` /
+    ``ChEESInfo.energy`` — potential *plus* kinetic). Values << 0.3
+    indicate the momentum resampling can't explore the energy marginal —
+    heavy tails the mass matrix can't fix.
     """
     e = np.asarray(energies, np.float64)
     de = np.diff(e, axis=1)

@@ -100,7 +100,11 @@ def hmc_kernel(logdensity_fn: Callable, num_steps: int = 32,
             grad=jnp.where(accepted, grad_new, state.grad),
         )
         info = HMCInfo(accept_prob=accept_prob, accepted=accepted,
-                       divergent=divergent, energy=energy1,
+                       divergent=divergent,
+                       # H of the *accepted* state (on rejection: the
+                       # initial point with its fresh momentum) — what
+                       # the BFMI energy marginal is defined over.
+                       energy=jnp.where(accepted, energy1, energy0),
                        num_steps=jnp.asarray(num_steps))
         return new_state, info
 

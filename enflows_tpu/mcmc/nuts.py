@@ -81,11 +81,11 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
 
             def cond(carry):
                 n = carry[0]
-                turning, divergent = carry[12], carry[13]
+                turning, divergent = carry[13], carry[14]
                 return (n < num_leaves) & ~turning & ~divergent
 
             def body(carry):
-                (n, key, q, p, grad, prop_q, prop_logp, prop_grad,
+                (n, key, q, p, grad, prop_q, prop_logp, prop_grad, prop_h,
                  log_w, rho, S, cv, turning, divergent, sum_prob) = carry
                 ckpt_v_, ckpt_S_ = cv
 
@@ -105,6 +105,7 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
                 prop_q = jnp.where(take, q, prop_q)
                 prop_logp = jnp.where(take, logp, prop_logp)
                 prop_grad = jnp.where(take, grad, prop_grad)
+                prop_h = jnp.where(take, h, prop_h)
 
                 v = p * inv_mass_diag
 
@@ -136,23 +137,23 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
                                           jnp.asarray(False)))
 
                 return (n + 1, key, q, p, grad, prop_q, prop_logp, prop_grad,
-                        log_w_new, rho + p, S_new, (ckpt_v_, ckpt_S_),
+                        prop_h, log_w_new, rho + p, S_new, (ckpt_v_, ckpt_S_),
                         turning | turning_new, divergent | divergent_new,
                         sum_prob)
 
             neg_inf = jnp.asarray(-jnp.inf, dtype)
             init = (jnp.asarray(0, jnp.int32), key, q0, p0, grad0,
-                    q0, jnp.zeros((), dtype), grad0,
+                    q0, jnp.zeros((), dtype), grad0, energy0,
                     neg_inf, jnp.zeros_like(p0), jnp.zeros_like(p0),
                     (ckpt_v, ckpt_S),
                     jnp.asarray(False), jnp.asarray(False),
                     jnp.zeros((), dtype))
             out = lax.while_loop(cond, body, init)
-            (n, _, q, p, grad, prop_q, prop_logp, prop_grad,
+            (n, _, q, p, grad, prop_q, prop_logp, prop_grad, prop_h,
              log_w, rho, _, _, turning, divergent, sum_prob) = out
             return dict(n=n, q_end=q, p_end=p, grad_end=grad,
                         prop_q=prop_q, prop_logp=prop_logp, prop_grad=prop_grad,
-                        log_w=log_w, rho=rho, turning=turning,
+                        prop_h=prop_h, log_w=log_w, rho=rho, turning=turning,
                         divergent=divergent, sum_prob=sum_prob)
 
         return leapfrog_step, is_turning, build_subtree
@@ -171,6 +172,7 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
             q_right=state.q, p_right=p0, grad_right=state.grad,
             rho=p0,
             prop_q=state.q, prop_logp=state.logp, prop_grad=state.grad,
+            prop_energy=energy0,
             log_w=jnp.zeros((), dtype),       # leaf 0 weight = exp(0)
             depth=jnp.asarray(0, jnp.int32),
             num_steps=jnp.asarray(0, jnp.int32),
@@ -212,6 +214,7 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
             prop_q = jnp.where(take, sub["prop_q"], c["prop_q"])
             prop_logp = jnp.where(take, sub["prop_logp"], c["prop_logp"])
             prop_grad = jnp.where(take, sub["prop_grad"], c["prop_grad"])
+            prop_energy = jnp.where(take, sub["prop_h"], c["prop_energy"])
 
             rho = c["rho"] + sub["rho"]
             v_left = p_left * inv_mass_diag
@@ -224,6 +227,7 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
                 q_right=q_right, p_right=p_right, grad_right=g_right,
                 rho=rho,
                 prop_q=prop_q, prop_logp=prop_logp, prop_grad=prop_grad,
+                prop_energy=prop_energy,
                 log_w=jnp.where(stop_bad, c["log_w"],
                                 jnp.logaddexp(c["log_w"], sub["log_w"])),
                 depth=c["depth"] + 1,
@@ -244,7 +248,7 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
             divergent=out["divergent"],
             depth=out["depth"],
             num_steps=out["num_steps"],
-            energy=-out["prop_logp"],
+            energy=out["prop_energy"],
         )
         return new_state, info
 

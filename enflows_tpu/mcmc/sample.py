@@ -35,6 +35,8 @@ class SampleStats(NamedTuple):
     num_steps: jax.Array      # (steps, chains)
     step_size: jax.Array
     inv_mass_diag: jax.Array
+    energy: jax.Array         # (chains, steps) total H at accepted states,
+                              # chains-leading to feed diagnostics.bfmi
 
 
 def _vmap_kernel(kernel):
@@ -102,12 +104,14 @@ def run_chains(kernel, states: HMCState, key, num_samples: int,
         keys = jax.random.split(jax.random.fold_in(key, t), nchains)
         states, info = vkernel(keys, states, step_size, inv_mass_diag)
         return states, (states.q, info.accept_prob, info.divergent,
-                        getattr(info, "num_steps", jnp.zeros(nchains)))
+                        getattr(info, "num_steps", jnp.zeros(nchains)),
+                        info.energy)
 
-    states, (qs, acc, div, nsteps) = lax.scan(
+    states, (qs, acc, div, nsteps, energy) = lax.scan(
         step, states, jnp.arange(num_samples))
     stats = SampleStats(accept_prob=acc, divergent=div, num_steps=nsteps,
-                        step_size=step_size, inv_mass_diag=inv_mass_diag)
+                        step_size=step_size, inv_mass_diag=inv_mass_diag,
+                        energy=jnp.swapaxes(energy, 0, 1))
     # (steps, chains, dim) -> (chains, steps, dim)
     return jnp.swapaxes(qs, 0, 1), states, stats
 

@@ -162,6 +162,32 @@ def test_nuts_kernel_invariance():
         np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.13)
 
 
+def test_nuts_energy_is_total_hamiltonian():
+    """NUTSInfo.energy must be -logp + kinetic at the accepted leaf:
+    strictly above the potential alone (kinetic > 0 a.s.) and, for a
+    well-tuned kernel on a Gaussian, BFMI near 1."""
+    from enflows_tpu.mcmc import bfmi
+
+    def logp(q):
+        return -0.5 * jnp.sum(q * q)
+
+    kern = nuts_kernel(logp, max_depth=6)
+    N, T = 256, 40
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (N, 2), DT)
+    st = jax.vmap(lambda q: init_state(logp, q))(q0)
+    vk = jax.jit(jax.vmap(kern, in_axes=(0, 0, None, None)))
+    energies = []
+    for t in range(T):
+        keys = jax.random.split(jax.random.fold_in(jax.random.PRNGKey(2), t),
+                                N)
+        st, info = vk(keys, st, jnp.asarray(0.5, DT), jnp.ones(2, DT))
+        assert np.all(np.asarray(info.energy) > -np.asarray(st.logp))
+        energies.append(np.asarray(info.energy))
+    e = np.stack(energies, axis=1)               # (chains, steps)
+    b = bfmi(e)
+    assert 0.7 < b < 1.4, b
+
+
 def test_welford_matches_numpy():
     rng = np.random.default_rng(0)
     X = rng.normal(size=(64, 3)) * np.array([1.0, 2.0, 0.5]) + 1.0
