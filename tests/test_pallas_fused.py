@@ -177,3 +177,69 @@ def test_trainer_fused_path_matches_std():
     for a, b in zip(jax.tree.leaves(rf.result), jax.tree.leaves(rs.result)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def _random_stage(key, d, kind):
+    ks = jax.random.split(key, 4)
+
+    def par(k, lo, hi, scalar_ok=True):
+        val = jax.random.uniform(k, (d,), F, lo, hi)
+        if scalar_ok and bool(jax.random.bernoulli(jax.random.fold_in(k, 1))):
+            return val[0]          # scalar param exercises the broadcast path
+        return val
+
+    if kind == 0:
+        return ef.ScaleShift(a=par(ks[0], 0.5, 2.0), b=par(ks[1], -1.0, 1.0))
+    if kind == 1:
+        return ef.CenterStretch(a=par(ks[0], 0.1, 1.0), b=par(ks[1], 0.5, 2.5),
+                                c=par(ks[2], -0.5, 0.5))
+    if kind == 2:
+        return ef.CenterContract(a=par(ks[0], 0.1, 1.0), b=par(ks[1], 0.5, 2.5),
+                                 c=par(ks[2], -0.5, 0.5))
+    if kind == 3:
+        return ef.Johnson(gamma=par(ks[0], -0.5, 0.5), delta=par(ks[1], 2.0, 6.0),
+                          xi=par(ks[2], -0.5, 0.5), lam=par(ks[3], 2.0, 6.0))
+    if kind == 4:
+        return ef.JohnsonInv(gamma=par(ks[0], -0.5, 0.5), delta=par(ks[1], 2.0, 6.0),
+                             xi=par(ks[2], -0.5, 0.5), lam=par(ks[3], 2.0, 6.0))
+    k = int(jax.random.randint(ks[0], (), 1, 4))
+    return ef.Householder(
+        V=jax.random.normal(ks[1], (k, d), F)).canonicalize()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fused_fuzz_random_chains(seed):
+    """Randomized compositions (random stage kinds/order, scalar AND vector
+    params, random dims) must match the jnp path in value and gradient."""
+    key = jax.random.PRNGKey(100 + seed)
+    k_dim, k_len, k_kinds, k_x, k_stage = jax.random.split(key, 5)
+    d = [1, 2, 4, 8, 16, 32, 64, 128][int(jax.random.randint(k_dim, (), 0, 8))]
+    n_stages = int(jax.random.randint(k_len, (), 1, 6))
+    kinds = jax.random.randint(k_kinds, (n_stages,), 0, 6)
+    stages = [_random_stage(jax.random.fold_in(k_stage, i), d, int(kinds[i]))
+              for i in range(n_stages)]
+    chain = ef.compose(*stages) if n_stages > 1 else ef.Chain.of(stages[0])
+    assert is_fusible_chain(chain, d, F)
+
+    n = int(jax.random.randint(k_x, (), 1, 700))
+    x = jax.random.normal(jax.random.fold_in(k_x, 1), (n, d), F)
+    y1, l1 = chain.forward_and_ladj(x)
+    y2, l2 = fused_forward_and_ladj(chain, x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=3e-4, atol=3e-4)
+
+    def loss_f(c):
+        y, l = fused_forward_and_ladj_packed(c, x.reshape(-1), d)
+        return jnp.sum(jnp.cos(y)) + jnp.sum(l)
+
+    def loss_r(c):
+        y, l = c.forward_and_ladj(x)
+        return jnp.sum(jnp.cos(y.reshape(-1))) + jnp.sum(l)
+
+    gf = jax.grad(loss_f)(chain)
+    gr = jax.grad(loss_r)(chain)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
