@@ -7,7 +7,8 @@ from .collectives import (
 from .resample import sharded_systematic_resample
 from .smc_sharded import make_sharded_smc_step, smc_sample_sharded
 from .mcmc_sharded import sample_sharded
-from .event_sharded import event_sharded_forward_and_ladj, shard_event_batch
+from .event_sharded import (event_sharded_forward_and_ladj,
+                            event_sharded_negll_fn, shard_event_batch)
 
 __all__ = [
     "make_mesh", "chains_sharding", "replicated", "shard_chains",
@@ -16,5 +17,6 @@ __all__ = [
     "broadcast_from_zero",
     "sharded_systematic_resample",
     "make_sharded_smc_step", "smc_sample_sharded", "sample_sharded",
-    "event_sharded_forward_and_ladj", "shard_event_batch",
+    "event_sharded_forward_and_ladj", "event_sharded_negll_fn",
+    "shard_event_batch",
 ]

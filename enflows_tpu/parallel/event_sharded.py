@@ -69,3 +69,39 @@ def event_sharded_forward_and_ladj(chain: Bijector, mesh: Mesh,
 def shard_event_batch(x, mesh: Mesh, axis_name: str = "dim"):
     """Place a (batch, dim) array with the event axis sharded."""
     return jax.device_put(x, NamedSharding(mesh, P(None, axis_name)))
+
+
+def event_sharded_negll_fn(mesh: Mesh, batch_axis: str = "batch",
+                           dim_axis: str = "dim") -> Callable:
+    """Whitening negll over a 2D (batch x event) mesh — dp x "tp" composed.
+
+    Returns ``fn(chain, x) -> negll`` where ``x`` is (n, d) with the batch
+    axis sharded over ``batch_axis`` and the event axis (plus every per-dim
+    param leaf of ``chain``) sharded over ``dim_axis``. The negll
+    (reference mvnormal_negll_trafo, src/optimize_whitening.jl:7-15) is a
+    full sum of per-element terms (logpdf + elem-ladj) over (n, d), so it
+    distributes over both axes with ONE scalar psum; `jax.grad` through the
+    shard_map yields dim-sharded parameter gradients with the data-parallel
+    psum inserted by the transpose rule — a full 2D-sharded train step.
+    """
+    from ..distributions.base import std_normal_logpdf
+
+    def local(chain_local, x_local):
+        y, ladj_partial = chain_local.forward_and_ladj(x_local)
+        tot = jnp.sum(std_normal_logpdf(y)) + jnp.sum(ladj_partial)
+        tot = lax.psum(tot, (batch_axis, dim_axis))
+        n = x_local.shape[0] * lax.psum(1, batch_axis)
+        return -tot / n
+
+    x_spec = P(batch_axis, dim_axis)
+    param = P(dim_axis)
+
+    def fn(chain, x):
+        _check_elementwise(chain)
+        chain_specs = jax.tree.map(lambda _: param, chain)
+        return shard_map(local, mesh=mesh,
+                         in_specs=(chain_specs, x_spec),
+                         out_specs=P(),
+                         check_vma=False)(chain, x)
+
+    return fn

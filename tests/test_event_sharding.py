@@ -38,6 +38,33 @@ def test_event_sharded_matches_local():
                                rtol=1e-12)
 
 
+def test_2d_mesh_negll_and_grads_match_local():
+    """dp x event-sharding composed on a 2D mesh: loss AND parameter
+    gradients must match the unsharded whitening negll bit-for-bit in f64."""
+    from enflows_tpu.parallel import event_sharded_negll_fn
+    from enflows_tpu.train import mvnormal_negll
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dim = 16
+    mesh = make_mesh({"batch": 2, "dim": 4})
+    chain = _chain(dim)
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, dim), DT)
+
+    negll_ref, grads_ref = jax.value_and_grad(mvnormal_negll)(chain, x)
+
+    fn = event_sharded_negll_fn(mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("batch", "dim")))
+    cs = jax.device_put(chain, NamedSharding(mesh, P("dim")))
+    negll_sh, grads_sh = jax.jit(jax.value_and_grad(fn))(cs, xs)
+
+    np.testing.assert_allclose(float(negll_sh), float(negll_ref),
+                               rtol=1e-12)
+    for g_sh, g_ref in zip(jax.tree.leaves(grads_sh),
+                           jax.tree.leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                                   rtol=1e-10, atol=1e-12)
+
+
 def test_householder_rejected():
     mesh = make_mesh({"dim": 8}, axis_name="dim")
     c = ef.Chain.of(ef.Householder(
