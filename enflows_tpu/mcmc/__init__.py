@@ -10,7 +10,10 @@ from .chees import (
     chees_sample, chees_warmup, run_chains_chees, hmc_proposal_kernel,
     ChEESWarmupResult, ChEESSampleStats,
 )
-from .diagnostics import ess, ess_per_dim, split_rhat, split_rhat_per_dim, bfmi
+from .diagnostics import (
+    ess, ess_per_dim, split_rhat, split_rhat_per_dim, bfmi,
+    rank_normalized_rhat, rank_normalized_rhat_per_dim, bulk_ess, tail_ess,
+)
 
 __all__ = [
     "HMCState", "HMCInfo", "hmc_kernel", "init_state", "leapfrog",
@@ -22,4 +25,6 @@ __all__ = [
     "chees_sample", "chees_warmup", "run_chains_chees",
     "hmc_proposal_kernel", "ChEESWarmupResult", "ChEESSampleStats",
     "ess", "ess_per_dim", "split_rhat", "split_rhat_per_dim", "bfmi",
+    "rank_normalized_rhat", "rank_normalized_rhat_per_dim",
+    "bulk_ess", "tail_ess",
 ]

@@ -3,7 +3,9 @@
 No reference counterpart (SURVEY.md §5 metrics row). ESS follows the
 Geyer initial-monotone-sequence estimator on FFT autocovariances (the
 Stan/ArviZ standard); R-hat is the split-chain potential scale reduction
-factor (Vehtari et al. 2021 without rank-normalization).
+factor. `rank_normalized_rhat` / `bulk_ess` / `tail_ess` implement the
+full Vehtari et al. 2021 recipe (rank-normalize, fold for scale
+mismatches, indicator quantities for tail quantiles).
 
 Shapes: samples are (chains, steps) per scalar quantity, or
 (chains, steps, dim) handled per-dimension.
@@ -35,6 +37,8 @@ def ess(samples) -> float:
     var_plus = mean_var * (nsteps - 1.0) / nsteps
     if nchains > 1:
         var_plus += np.var(x.mean(axis=1), ddof=1)
+    if var_plus <= 0.0:        # constant draws (e.g. extreme-quantile
+        return float(nchains * nsteps)   # indicators): no autocorrelation
 
     rho = 1.0 - (mean_var - np.mean(acov, axis=0)) / var_plus   # (steps,)
     # Geyer: sum consecutive pairs while positive, enforce monotonicity.
@@ -74,6 +78,79 @@ def split_rhat(samples) -> float:
 def split_rhat_per_dim(samples) -> np.ndarray:
     x = np.asarray(samples)
     return np.array([split_rhat(x[..., d]) for d in range(x.shape[-1])])
+
+
+def _ndtri(p: np.ndarray) -> np.ndarray:
+    """Inverse standard-normal CDF (host-side, float64)."""
+    try:
+        from scipy.special import ndtri as _sp_ndtri
+        return _sp_ndtri(p)
+    except ImportError:  # pragma: no cover - scipy ships with jax
+        import jax.scipy.stats as jss  # noqa: F401
+        from jax.scipy.special import ndtri as _jx_ndtri
+        return np.asarray(_jx_ndtri(jnp.asarray(p, jnp.float64)))
+
+
+def _rank_normalize(x: np.ndarray) -> np.ndarray:
+    """Fractional-rank normal scores z = Phi^-1((r - 3/8) / (S + 1/4)).
+
+    Average ranks over ties (Vehtari et al. 2021 §3); x is ranked over ALL
+    chains/draws jointly, preserving shape.
+    """
+    flat = x.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    ranks = np.empty_like(flat, dtype=np.float64)
+    ranks[order] = np.arange(1, flat.size + 1, dtype=np.float64)
+    # average tied ranks
+    sorted_vals = flat[order]
+    is_new = np.concatenate([[True], sorted_vals[1:] != sorted_vals[:-1]])
+    group = np.cumsum(is_new) - 1
+    gsum = np.bincount(group, weights=np.arange(1, flat.size + 1))
+    gcnt = np.bincount(group)
+    avg = (gsum / gcnt)[group]
+    ranks[order] = avg
+    z = _ndtri((ranks - 3.0 / 8.0) / (flat.size + 0.25))
+    return z.reshape(x.shape)
+
+
+def rank_normalized_rhat(samples) -> float:
+    """Rank-normalized split-R-hat (Vehtari et al. 2021).
+
+    max of split-R-hat on the rank-normal scores of the draws (bulk:
+    catches location mismatches) and of the folded draws
+    |x - median| (catches scale/tail mismatches classic R-hat misses).
+    samples: (chains, steps).
+    """
+    x = np.asarray(samples, np.float64)
+    bulk = split_rhat(_rank_normalize(x))
+    folded = split_rhat(_rank_normalize(np.abs(x - np.median(x))))
+    return float(max(bulk, folded))
+
+
+def rank_normalized_rhat_per_dim(samples) -> np.ndarray:
+    x = np.asarray(samples)
+    return np.array([rank_normalized_rhat(x[..., d])
+                     for d in range(x.shape[-1])])
+
+
+def bulk_ess(samples) -> float:
+    """Bulk ESS: Geyer ESS of the rank-normal scores (chains, steps)."""
+    return ess(_rank_normalize(np.asarray(samples, np.float64)))
+
+
+def tail_ess(samples) -> float:
+    """Tail ESS: min ESS of the 5%/95%-quantile indicator quantities.
+
+    Measures how reliably the chain estimates tail quantiles — sticky
+    tails (e.g. funnel necks) show tail_ess << bulk_ess. samples:
+    (chains, steps).
+    """
+    x = np.asarray(samples, np.float64)
+    out = []
+    for q in (0.05, 0.95):
+        ind = (x <= np.quantile(x, q)).astype(np.float64)
+        out.append(ess(ind))
+    return float(min(out))
 
 
 def bfmi(energies) -> float:
