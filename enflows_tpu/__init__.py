@@ -37,5 +37,8 @@ from .bijectors import (
 from .distributions import (
     FlowDistribution, JohnsonSU, std_normal_logpdf, std_normal_logpdf_sum,
 )
+from .infer import (
+    infer, InferenceResult, summarize_draws, default_flow_template,
+)
 
 __version__ = "0.1.0"

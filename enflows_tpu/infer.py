@@ -1,0 +1,190 @@
+"""One-call adaptive inference: precondition -> sample -> diagnose.
+
+The workflow the framework exists for (examples/full_pipeline.py), as a
+single first-class API. No reference counterpart (the reference stops at
+example scripts; SURVEY.md §2a examples rows) — this is the front door a
+reference user migrating to TPU gets instead of hand-wiring the M1-M3
+subsystems:
+
+    result = infer(logp, dim=2, key=key)            # auto-preconditioned NUTS
+    result.draws                                     # (chains, steps, dim)
+    result.diagnostics["rhat"]                       # rank-normalized, per dim
+
+``precondition="auto"`` fits a flow transport to the target by ELBO ascent
+(train.optimize_elbo — needs no posterior draws), then samples the
+flow-preconditioned target (mcmc.logdensity) and pushes draws back to data
+space. Sampling methods: 'nuts' | 'hmc' | 'chees' (accelerator-native
+adaptive HMC, the TPU-preferred many-chain sampler) | 'smc' (tempered SMC,
+also returns the log normalizing constant).
+
+Everything inside is jit/scan-based; the diagnostics summary is the only
+host-side (numpy) step.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bijectors import (Bijector, CenterStretch, Householder, JohnsonInv,
+                        ScaleShift, compose)
+from .mcmc import flow_preconditioned, sample
+from .mcmc.diagnostics import (bfmi, bulk_ess,
+                               rank_normalized_rhat_per_dim, tail_ess)
+
+
+class InferenceResult(NamedTuple):
+    draws: jax.Array          # MCMC: (chains, steps, dim); SMC: (particles, dim)
+    diagnostics: dict         # host-side scalars/arrays (see summarize_draws)
+    stats: Any                # raw sampler stats (SampleStats/ChEES.../SMC infos)
+    flow: Optional[Bijector]  # preconditioner used (whitened -> data), if any
+
+
+def default_flow_template(dim: int, key, dtype=jnp.float32) -> Bijector:
+    """Identity-initialized base->data transport.
+
+    The inverse structure of the flagship whitening flow: two
+    (center-stretch ∘ Johnson-inverse) blocks — sinh tails EXPAND the base
+    normal outward, the direction a transport needs (asinh/contract stages
+    point the whitening way) — around a Householder rotation (dim > 1),
+    with affine rescales at both ends.
+    """
+    v = lambda val: jnp.full((dim,), val, dtype)
+    tail_block = lambda: (
+        CenterStretch(a=v(0.0), b=v(1.0), c=v(0.0)),
+        JohnsonInv(gamma=v(0.0), delta=v(5.0), xi=v(0.0), lam=v(5.0)),
+    )
+    stages = [ScaleShift(a=v(1.0), b=v(0.0)), *tail_block()]
+    if dim > 1:
+        k = min(dim, 4)
+        V = jax.random.normal(key, (k, dim), dtype)
+        stages.append(Householder(V=V).canonicalize())
+    stages.extend(tail_block())
+    stages.append(ScaleShift(a=v(1.0), b=v(0.0)))
+    return compose(*stages)
+
+
+def summarize_draws(draws, stats=None) -> dict:
+    """Per-dimension convergence summary of (chains, steps, dim) draws.
+
+    Keys: mean, sd, rhat (rank-normalized split-R-hat), bulk_ess, tail_ess,
+    min_bulk_ess; plus divergences / accept_prob / bfmi when the sampler
+    stats carry them.
+    """
+    x = np.asarray(draws, np.float64)
+    dim = x.shape[-1]
+    out = {
+        "mean": x.reshape(-1, dim).mean(axis=0),
+        "sd": x.reshape(-1, dim).std(axis=0),
+        "rhat": rank_normalized_rhat_per_dim(x),
+        "bulk_ess": np.array([bulk_ess(x[..., d]) for d in range(dim)]),
+        "tail_ess": np.array([tail_ess(x[..., d]) for d in range(dim)]),
+    }
+    out["min_bulk_ess"] = float(out["bulk_ess"].min())
+    if stats is not None:
+        div = getattr(stats, "divergent", None)
+        if div is not None:
+            out["divergences"] = int(np.asarray(div).sum())
+        acc = getattr(stats, "accept_prob", None)
+        if acc is not None:
+            out["accept_prob"] = float(np.asarray(acc).mean())
+        energy = getattr(stats, "energy", None)
+        if energy is not None:
+            e = np.asarray(energy)
+            if e.ndim == 2 and e.shape[1] > 2:
+                out["bfmi"] = bfmi(e)
+    return out
+
+
+def infer(logdensity_fn: Callable, *, dim: int, key,
+          method: str = "nuts",
+          num_chains: int = 16, num_warmup: int = 500,
+          num_samples: int = 1000,
+          precondition: Optional[str] = "auto",
+          flow: Optional[Bijector] = None,
+          flow_template: Optional[Callable] = None,
+          vi_steps: int = 500, vi_batch: int = 512, vi_optimizer=None,
+          dtype=jnp.float32, **sampler_kw) -> InferenceResult:
+    """Sample an unnormalized target density, end to end.
+
+    ``logdensity_fn``: per-sample target, (dim,) -> scalar (any jittable
+    function). ``method``: 'nuts' | 'hmc' | 'chees' | 'smc'.
+
+    Preconditioning: ``flow`` (a whitened->data bijector, e.g. from
+    ``train.optimize_whitening`` inverted or ``train.optimize_elbo``) is
+    used as-is; else ``precondition='auto'`` fits ``flow_template(dim, key,
+    dtype)`` (default: ``default_flow_template``) by ``vi_steps`` ELBO
+    steps; ``precondition=None`` samples the raw target. Draws are always
+    returned in DATA space.
+
+    The 'auto' transport minimizes reverse KL and is therefore
+    MODE-SEEKING: on multimodal targets (e.g. anything downstream of a
+    CenterStretch, which pushes mass away from its center) it collapses to
+    one mode and the preconditioner can mislead fixed-trajectory samplers.
+    For multimodal targets use ``method='smc'`` (tempering crosses density
+    holes) or pass a data-trained whitening flow via ``flow=``; NUTS
+    remains correct (if slower) under an imperfect preconditioner.
+
+    For 'smc', ``num_chains*num_samples`` becomes the particle count unless
+    ``num_particles`` is passed, and diagnostics include ``log_z``.
+    """
+    key, k_fit, k_sample = jax.random.split(jax.random.PRNGKey(0)
+                                            if key is None else key, 3)
+
+    used_flow = flow
+    if used_flow is None and precondition == "auto":
+        from .train import optimize_elbo
+        template_fn = flow_template or default_flow_template
+        init_flow = template_fn(dim, k_fit, dtype)
+
+        def batched_logp(z):
+            flat = z.reshape(-1, dim)
+            vals = jax.vmap(logdensity_fn)(flat)
+            return vals.reshape(z.shape[:-1])
+
+        vi = optimize_elbo(batched_logp, init_flow, vi_optimizer, dim=dim,
+                           batch_size=vi_batch, nsteps=vi_steps,
+                           key=k_fit, dtype=dtype)
+        used_flow = vi.result
+
+    if used_flow is not None:
+        pre = flow_preconditioned(logdensity_fn, used_flow)
+        target = pre.logdensity_fn
+    else:
+        pre = None
+        target = logdensity_fn
+
+    if method == "smc":
+        from .smc import smc_sample
+        n_particles = sampler_kw.pop("num_particles",
+                                     num_chains * num_samples)
+        particles, log_w, log_z, infos = smc_sample(
+            target, k_sample, dim=dim, num_particles=n_particles,
+            dtype=dtype, **sampler_kw)
+        if pre is not None:
+            particles = pre.push_forward(particles)
+        x = np.asarray(particles, np.float64)
+        w = np.exp(np.asarray(log_w, np.float64)
+                   - np.max(np.asarray(log_w)))
+        w /= w.sum()
+        diagnostics = {
+            "mean": (w[:, None] * x).sum(axis=0),
+            "sd": np.sqrt((w[:, None] * x**2).sum(axis=0)
+                          - ((w[:, None] * x).sum(axis=0)) ** 2),
+            "log_z": float(log_z),
+            "weight_ess": float(1.0 / np.sum(w**2)),
+        }
+        return InferenceResult(draws=particles, diagnostics=diagnostics,
+                               stats=infos, flow=used_flow)
+
+    draws, _final, stats = sample(
+        target, k_sample, dim=dim, num_chains=num_chains,
+        num_warmup=num_warmup, num_samples=num_samples,
+        algorithm=method, dtype=dtype, **sampler_kw)
+    if pre is not None:
+        draws = pre.push_forward(draws)
+    diagnostics = summarize_draws(draws, stats)
+    return InferenceResult(draws=draws, diagnostics=diagnostics,
+                           stats=stats, flow=used_flow)
