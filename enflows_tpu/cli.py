@@ -102,15 +102,61 @@ def cmd_sample(cfg):
     return 0
 
 
+def cmd_infer(cfg):
+    """One-call pipeline (ef.infer) on the demo warped 2D target:
+    auto-fit a transport, sample the preconditioned target, print the
+    rank-normalized diagnostics summary."""
+    import numpy as np
+    from . import (infer, compose, ScaleShift, Householder, JohnsonInv,
+                   FlowDistribution)
+
+    dim = cfg.flow.dim
+    dt = jnp.dtype(cfg.flow.dtype)
+    vec = lambda v: jnp.full((dim,), v, dt)
+    stages = [ScaleShift(a=vec(1.3), b=vec(2.5))]
+    if dim > 1:
+        stages.append(Householder(
+            V=jax.random.normal(jax.random.PRNGKey(0), (dim,), dt)))
+    stages.append(JohnsonInv(gamma=vec(0.5), delta=vec(2.0),
+                             xi=vec(0.0), lam=vec(1.0)))
+    target = FlowDistribution(bijector=compose(*stages))
+
+    key = jax.random.PRNGKey(cfg.sampler.seed)
+    if cfg.sampler.algorithm == "smc":
+        res = infer(lambda q: target.logpdf(q), dim=dim, key=key,
+                    method="smc", precondition=None,
+                    num_particles=cfg.sampler.num_particles, dtype=dt)
+    else:
+        res = infer(lambda q: target.logpdf(q), dim=dim, key=key,
+                    method=cfg.sampler.algorithm,
+                    num_chains=cfg.sampler.num_chains,
+                    num_warmup=cfg.sampler.num_warmup,
+                    num_samples=cfg.sampler.num_samples,
+                    vi_steps=cfg.train.nsteps, dtype=dt)
+    d = res.diagnostics
+    if "log_z" in d:
+        print(f"smc: logZ={d['log_z']:.4f} "
+              f"weight_ess={d['weight_ess']:.0f} "
+              f"mean={np.round(d['mean'], 3)}")
+    else:
+        print(f"{cfg.sampler.algorithm}: rhat={d['rhat'].max():.4f} "
+              f"min_bulk_ess={d['min_bulk_ess']:.0f} "
+              f"tail_ess={d['tail_ess'].min():.0f} "
+              f"divergences={d['divergences']} "
+              f"mean={np.round(d['mean'], 3)}")
+    return 0
+
+
 def main(argv=None):
     from .utils import load_config
 
     parser = argparse.ArgumentParser(prog="enflows_tpu")
-    parser.add_argument("command", choices=["train", "sample"])
+    parser.add_argument("command", choices=["train", "sample", "infer"])
     parser.add_argument("--config", default=None)
     args, overrides = parser.parse_known_args(argv)
     cfg = load_config(args.config, overrides)
-    return {"train": cmd_train, "sample": cmd_sample}[args.command](cfg)
+    return {"train": cmd_train, "sample": cmd_sample,
+            "infer": cmd_infer}[args.command](cfg)
 
 
 if __name__ == "__main__":

@@ -134,6 +134,24 @@ def test_cli_sample_hmc(capsys):
     assert "rhat" in capsys.readouterr().out
 
 
+def test_cli_infer_nuts(capsys):
+    from enflows_tpu.cli import main
+    rc = main(["infer", "--flow.dim=2", "--sampler.num_warmup=150",
+               "--sampler.num_samples=150", "--sampler.num_chains=4",
+               "--train.nsteps=150"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rhat" in out and "divergences" in out
+
+
+def test_cli_infer_smc(capsys):
+    from enflows_tpu.cli import main
+    rc = main(["infer", "--sampler.algorithm=smc", "--flow.dim=2",
+               "--sampler.num_particles=1024"])
+    assert rc == 0
+    assert "logZ" in capsys.readouterr().out
+
+
 def test_cli_train_elbo(capsys):
     from enflows_tpu.cli import main
     rc = main(["train", "--train.objective=elbo", "--flow.dim=1",
