@@ -104,8 +104,10 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
           num_samples: int = 1000,
           precondition: Optional[str] = "auto",
           flow: Optional[Bijector] = None,
+          data: Optional[jax.Array] = None,
           flow_template: Optional[Callable] = None,
           vi_steps: int = 500, vi_batch: int = 512, vi_optimizer=None,
+          whiten_batches: int = 100, whiten_epochs: int = 10,
           dtype=jnp.float32, **sampler_kw) -> InferenceResult:
     """Sample an unnormalized target density, end to end.
 
@@ -124,8 +126,14 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
     CenterStretch, which pushes mass away from its center) it collapses to
     one mode and the preconditioner can mislead fixed-trajectory samplers.
     For multimodal targets use ``method='smc'`` (tempering crosses density
-    holes) or pass a data-trained whitening flow via ``flow=``; NUTS
-    remains correct (if slower) under an imperfect preconditioner.
+    holes) or pass ``data=`` (below); NUTS remains correct (if slower)
+    under an imperfect preconditioner.
+
+    ``data=`` ((n, dim) draws from — or near — the target, e.g. observed
+    samples or SMC output): the preconditioner is instead fitted by MLE
+    whitening on the data (``train.optimize_whitening``, forward-KL =
+    MODE-COVERING, the multimodal-safe direction) and its inverse used as
+    the transport; ``whiten_batches``/``whiten_epochs`` control that fit.
 
     For 'smc', ``num_chains*num_samples`` becomes the particle count unless
     ``num_particles`` is passed, and diagnostics include ``log_z``.
@@ -134,6 +142,18 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
                                             if key is None else key, 3)
 
     used_flow = flow
+    if used_flow is None and data is not None and precondition is not None:
+        from .bijectors import invert
+        from .train import optimize_whitening
+        template_fn = flow_template or default_flow_template
+        # The transport template inverted = an identity-initialized
+        # whitening flow (contract/asinh stages); train data -> base,
+        # then the transport is its inverse (param-sharing).
+        white = invert(template_fn(dim, k_fit, dtype))
+        fit = optimize_whitening(jnp.asarray(data, dtype), white,
+                                 vi_optimizer, nbatches=whiten_batches,
+                                 nepochs=whiten_epochs)
+        used_flow = invert(fit.result)
     if used_flow is None and precondition == "auto":
         from .train import optimize_elbo
         template_fn = flow_template or default_flow_template

@@ -65,6 +65,36 @@ def test_infer_explicit_flow():
                                rtol=0.15)
 
 
+def test_infer_data_whitening_preconditioner_multimodal():
+    # Bimodal target (CenterStretch pushes mass off-center): reverse-KL
+    # 'auto' would mode-collapse; the data= path fits a whitening flow
+    # (forward KL, mode-covering) and NUTS recovers the full posterior.
+    v = lambda *a: jnp.asarray(a, DT)
+    f_true = ef.compose(
+        ef.ScaleShift(a=v(1.3, 0.4), b=v(2.5, -1.2)),
+        ef.Householder(V=v(1.0, 0.3)),
+        ef.CenterStretch(a=v(3.0, 3.1), b=v(2.0, 2.1), c=v(0.0, 0.0)),
+    )
+    target = ef.FlowDistribution(bijector=f_true)
+    key = jax.random.PRNGKey(5)
+    X = target.sample(key, (40_000,), dim=2, dtype=DT)
+
+    res = ef.infer(lambda q: target.logpdf(q), dim=2,
+                   key=jax.random.PRNGKey(6), data=X,
+                   whiten_batches=100, whiten_epochs=6,
+                   num_chains=8, num_warmup=300, num_samples=400,
+                   dtype=DT)
+    assert res.flow is not None
+    d = res.diagnostics
+    true_mean = np.asarray(X).mean(0)
+    true_sd = np.asarray(X).std(0)
+    assert np.all(d["rhat"] < 1.05), d["rhat"]
+    np.testing.assert_allclose(d["mean"], true_mean,
+                               atol=5 * true_sd.max()
+                               / np.sqrt(d["min_bulk_ess"]) + 0.05)
+    np.testing.assert_allclose(d["sd"], true_sd, rtol=0.15)
+
+
 def test_infer_chees():
     res = ef.infer(_gauss_logp, dim=2, key=jax.random.PRNGKey(3),
                    method="chees", precondition=None, num_chains=32,
