@@ -108,7 +108,7 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
           flow_template: Optional[Callable] = None,
           vi_steps: int = 500, vi_batch: int = 512, vi_optimizer=None,
           whiten_batches: int = 100, whiten_epochs: int = 10,
-          dtype=jnp.float32, **sampler_kw) -> InferenceResult:
+          mesh=None, dtype=jnp.float32, **sampler_kw) -> InferenceResult:
     """Sample an unnormalized target density, end to end.
 
     ``logdensity_fn``: per-sample target, (dim,) -> scalar (any jittable
@@ -137,9 +137,16 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
 
     For 'smc', ``num_chains*num_samples`` becomes the particle count unless
     ``num_particles`` is passed, and diagnostics include ``log_z``.
+
+    ``mesh`` (a `jax.sharding.Mesh` with a 'chains' axis, see
+    `parallel.make_mesh`): shards the whole pipeline — VI/whitening batch
+    axis, MCMC chains (`parallel.sample_sharded`), SMC particles
+    (`parallel.smc_sample_sharded`, host-level transports unsupported
+    there) — params replicated, reductions riding XLA collectives.
     """
     key, k_fit, k_sample = jax.random.split(jax.random.PRNGKey(0)
                                             if key is None else key, 3)
+    axis = mesh.axis_names[0] if mesh is not None else "chains"
 
     used_flow = flow
     if used_flow is None and data is not None and precondition is not None:
@@ -152,7 +159,8 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
         white = invert(template_fn(dim, k_fit, dtype))
         fit = optimize_whitening(jnp.asarray(data, dtype), white,
                                  vi_optimizer, nbatches=whiten_batches,
-                                 nepochs=whiten_epochs)
+                                 nepochs=whiten_epochs, mesh=mesh,
+                                 batch_axis=axis)
         used_flow = invert(fit.result)
     if used_flow is None and precondition == "auto":
         from .train import optimize_elbo
@@ -166,7 +174,8 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
 
         vi = optimize_elbo(batched_logp, init_flow, vi_optimizer, dim=dim,
                            batch_size=vi_batch, nsteps=vi_steps,
-                           key=k_fit, dtype=dtype)
+                           key=k_fit, mesh=mesh, batch_axis=axis,
+                           dtype=dtype)
         used_flow = vi.result
 
     if used_flow is not None:
@@ -177,12 +186,18 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
         target = logdensity_fn
 
     if method == "smc":
-        from .smc import smc_sample
         n_particles = sampler_kw.pop("num_particles",
                                      num_chains * num_samples)
-        particles, log_w, log_z, infos = smc_sample(
-            target, k_sample, dim=dim, num_particles=n_particles,
-            dtype=dtype, **sampler_kw)
+        if mesh is not None:
+            from .parallel import smc_sample_sharded
+            particles, log_w, log_z, infos = smc_sample_sharded(
+                target, k_sample, mesh, dim=dim, axis_name=axis,
+                num_particles=n_particles, dtype=dtype, **sampler_kw)
+        else:
+            from .smc import smc_sample
+            particles, log_w, log_z, infos = smc_sample(
+                target, k_sample, dim=dim, num_particles=n_particles,
+                dtype=dtype, **sampler_kw)
         if pre is not None:
             particles = pre.push_forward(particles)
         x = np.asarray(particles, np.float64)
@@ -199,10 +214,18 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
         return InferenceResult(draws=particles, diagnostics=diagnostics,
                                stats=infos, flow=used_flow)
 
-    draws, _final, stats = sample(
-        target, k_sample, dim=dim, num_chains=num_chains,
-        num_warmup=num_warmup, num_samples=num_samples,
-        algorithm=method, dtype=dtype, **sampler_kw)
+    if mesh is not None:
+        from .parallel import sample_sharded
+        draws, _final, stats = sample_sharded(
+            target, k_sample, mesh, dim=dim, num_chains=num_chains,
+            axis_name=axis, num_warmup=num_warmup,
+            num_samples=num_samples, algorithm=method, dtype=dtype,
+            **sampler_kw)
+    else:
+        draws, _final, stats = sample(
+            target, k_sample, dim=dim, num_chains=num_chains,
+            num_warmup=num_warmup, num_samples=num_samples,
+            algorithm=method, dtype=dtype, **sampler_kw)
     if pre is not None:
         draws = pre.push_forward(draws)
     diagnostics = summarize_draws(draws, stats)
