@@ -108,6 +108,7 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
           flow_template: Optional[Callable] = None,
           vi_steps: int = 500, vi_batch: int = 512, vi_optimizer=None,
           whiten_batches: int = 100, whiten_epochs: int = 10,
+          refine_rounds: int = 0,
           mesh=None, dtype=jnp.float32, **sampler_kw) -> InferenceResult:
     """Sample an unnormalized target density, end to end.
 
@@ -143,6 +144,14 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
     axis, MCMC chains (`parallel.sample_sharded`), SMC particles
     (`parallel.smc_sample_sharded`, host-level transports unsupported
     there) — params replicated, reductions riding XLA collectives.
+
+    ``refine_rounds=N`` (MCMC methods): after sampling, re-fit the
+    whitening transport on the round's own draws (mode-covering) and
+    re-sample, N times — adaptive preconditioning that upgrades a rough
+    first pass (raw or VI-seeded) into a whitened geometry. The refinement
+    inherits whatever the first round's draws cover: on multimodal targets
+    start from ``precondition=None`` or SMC draws via ``data=``, not the
+    mode-seeking 'auto' path.
     """
     key, k_fit, k_sample = jax.random.split(jax.random.PRNGKey(0)
                                             if key is None else key, 3)
@@ -228,6 +237,19 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
             algorithm=method, dtype=dtype, **sampler_kw)
     if pre is not None:
         draws = pre.push_forward(draws)
+
+    if refine_rounds > 0:
+        return infer(logdensity_fn, dim=dim,
+                     key=jax.random.fold_in(key, refine_rounds),
+                     method=method, num_chains=num_chains,
+                     num_warmup=num_warmup, num_samples=num_samples,
+                     data=draws.reshape(-1, dim),
+                     flow_template=flow_template,
+                     whiten_batches=whiten_batches,
+                     whiten_epochs=whiten_epochs,
+                     refine_rounds=refine_rounds - 1, mesh=mesh,
+                     dtype=dtype, **sampler_kw)
+
     diagnostics = summarize_draws(draws, stats)
     return InferenceResult(draws=draws, diagnostics=diagnostics,
                            stats=stats, flow=used_flow)

@@ -95,6 +95,37 @@ def test_infer_data_whitening_preconditioner_multimodal():
     np.testing.assert_allclose(d["sd"], true_sd, rtol=0.15)
 
 
+def test_infer_refine_rounds():
+    # Adaptive preconditioning: raw first pass on a warped heavy-tail
+    # target, then refine (whiten on own draws + re-sample) — the refined
+    # round must be correct and dramatically more efficient per draw.
+    v = lambda *a: jnp.asarray(a, DT)
+    f_true = ef.compose(
+        ef.ScaleShift(a=v(1.3, 0.4), b=v(2.5, -1.2)),
+        ef.JohnsonInv(gamma=v(0.5, -0.3), delta=v(2.0, 2.5),
+                      xi=v(0.0, 0.0), lam=v(1.0, 1.5)),
+    )
+    target = ef.FlowDistribution(bijector=f_true)
+    logp = lambda q: target.logpdf(q)
+
+    raw = ef.infer(logp, dim=2, key=jax.random.PRNGKey(7),
+                   precondition=None, num_chains=8, num_warmup=300,
+                   num_samples=400, dtype=DT)
+    ref = ef.infer(logp, dim=2, key=jax.random.PRNGKey(7),
+                   precondition=None, refine_rounds=1, num_chains=8,
+                   num_warmup=300, num_samples=400, dtype=DT)
+    X = np.asarray(target.sample(jax.random.PRNGKey(8), (200_000,),
+                                 dim=2, dtype=DT))
+    d = ref.diagnostics
+    assert ref.flow is not None          # refinement fitted a transport
+    assert np.all(d["rhat"] < 1.05)
+    np.testing.assert_allclose(d["mean"], X.mean(0),
+                               atol=5 * X.std(0).max()
+                               / np.sqrt(d["min_bulk_ess"]) + 0.05)
+    np.testing.assert_allclose(d["sd"], X.std(0), rtol=0.15)
+    assert d["min_bulk_ess"] > 1.5 * raw.diagnostics["min_bulk_ess"]
+
+
 def test_infer_chees():
     res = ef.infer(_gauss_logp, dim=2, key=jax.random.PRNGKey(3),
                    method="chees", precondition=None, num_chains=32,
