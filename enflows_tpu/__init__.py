@@ -32,7 +32,8 @@ from . import bijectors, distributions
 from .bijectors import (
     Bijector, Chain, Identity, compose, invert, forward_and_ladj,
     ScaleShift, CenterStretch, CenterContract, Johnson, JohnsonInv,
-    Householder,
+    Householder, AffineCoupling, Permute, init_affine_coupling,
+    coupling_stack,
 )
 from .distributions import (
     FlowDistribution, JohnsonSU, std_normal_logpdf, std_normal_logpdf_sum,

@@ -8,6 +8,10 @@ from .householder import (
     Householder, householder_chain, householder_chain_dense,
     householder_matrix,
 )
+from .coupling import (
+    AffineCoupling, MLPConditioner, Permute, init_affine_coupling,
+    coupling_stack,
+)
 
 __all__ = [
     "Bijector", "Chain", "Identity", "compose", "invert",
@@ -16,4 +20,6 @@ __all__ = [
     "Johnson", "JohnsonInv",
     "Householder", "householder_chain", "householder_chain_dense",
     "householder_matrix",
+    "AffineCoupling", "MLPConditioner", "Permute", "init_affine_coupling",
+    "coupling_stack",
 ]
