@@ -40,6 +40,7 @@ from .distributions import (
 )
 from .infer import (
     infer, InferenceResult, summarize_draws, default_flow_template,
+    coupling_flow_template,
 )
 
 __version__ = "0.1.0"

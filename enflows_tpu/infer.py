@@ -66,6 +66,40 @@ def default_flow_template(dim: int, key, dtype=jnp.float32) -> Bijector:
     return compose(*stages)
 
 
+def coupling_flow_template(n_layers: int = 4, hidden=(32, 32), *,
+                           tails: bool = True):
+    """Template factory: a coupling-stack base->data transport.
+
+    Returns a callable with the ``flow_template(dim, key, dtype)``
+    signature ``infer`` expects. The stack (identity-initialized
+    AffineCoupling layers with Permute alternation, bijectors/coupling.py)
+    expresses learnable *conditional* structure the elementwise+rotation
+    default template cannot; with ``tails=True`` a sinh tail-expansion
+    block wraps the stack so heavy-tailed targets stay reachable. Use for
+    dim >= 2 (couplings need something to condition on)::
+
+        ef.infer(logp, dim=16, key=key,
+                 flow_template=ef.coupling_flow_template(6, (64, 64)))
+    """
+    from .bijectors import coupling_stack
+
+    def template(dim: int, key, dtype=jnp.float32) -> Bijector:
+        if dim < 2:
+            return default_flow_template(dim, key, dtype)
+        k_c, k_h = jax.random.split(key)
+        v = lambda val: jnp.full((dim,), val, dtype)
+        stages = [ScaleShift(a=v(1.0), b=v(0.0))]
+        if tails:
+            stages.append(JohnsonInv(gamma=v(0.0), delta=v(5.0),
+                                     xi=v(0.0), lam=v(5.0)))
+        stack = coupling_stack(k_c, dim, n_layers, hidden, dtype=dtype)
+        stages.extend(stack.stages)
+        stages.append(ScaleShift(a=v(1.0), b=v(0.0)))
+        return compose(*reversed(stages))
+
+    return template
+
+
 def summarize_draws(draws, stats=None) -> dict:
     """Per-dimension convergence summary of (chains, steps, dim) draws.
 

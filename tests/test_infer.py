@@ -130,6 +130,26 @@ def test_infer_refine_rounds():
     assert d["min_bulk_ess"] > 0.8 * raw.diagnostics["min_bulk_ess"]
 
 
+def test_infer_coupling_template():
+    # Correlated banana-ish target: the coupling transport template learns
+    # the conditional structure and the preconditioned chains stay correct.
+    def logp(q):
+        return (-0.5 * q[0] ** 2
+                - 0.5 * ((q[1] - 0.5 * q[0] ** 2) / 0.5) ** 2)
+
+    res = ef.infer(logp, dim=2, key=jax.random.PRNGKey(21),
+                   precondition="auto",
+                   flow_template=ef.coupling_flow_template(3, (24, 24)),
+                   vi_steps=500, vi_batch=512, num_chains=8,
+                   num_warmup=300, num_samples=400, dtype=DT)
+    assert res.flow is not None
+    d = res.diagnostics
+    assert np.all(d["rhat"] < 1.05)
+    # E[q0]=0, E[q1]=0.5*E[q0^2]=0.5; sd(q0)=1.
+    np.testing.assert_allclose(d["mean"], [0.0, 0.5], atol=0.15)
+    np.testing.assert_allclose(d["sd"][0], 1.0, rtol=0.15)
+
+
 def test_infer_chees():
     res = ef.infer(_gauss_logp, dim=2, key=jax.random.PRNGKey(3),
                    method="chees", precondition=None, num_chains=32,
