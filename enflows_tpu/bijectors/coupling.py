@@ -44,25 +44,38 @@ _ACTIVATIONS = {
 }
 
 
-@pytree_dataclass(static=("activation",))
+@pytree_dataclass(static=("activation", "compute_dtype"))
 class MLPConditioner:  # plain callable pytree, not a Bijector
     """Dense MLP ``(..., d_in) -> (..., d_out)``; weights are pytree leaves.
 
     ``layers`` is a tuple of ``(W, b)`` pairs with ``W: (fan_in, fan_out)``
     — batch-major matmuls that map directly onto the MXU.
+
+    ``compute_dtype='bfloat16'`` runs the matmuls in bf16 (the MXU's native
+    rate, ~2x f32 throughput) while parameters and the output stay in the
+    parameter dtype. This is SAFE for invertibility: the coupling inverse
+    recomputes the *same* conditioner on the untouched half, so forward and
+    inverse see bit-identical (s, t) and the round trip stays exact — lower
+    precision only perturbs *which* bijection is represented, never breaks
+    it. The ladj (sum of s) is likewise consistent by construction.
     """
 
     layers: tuple
     activation: str = "gelu"
+    compute_dtype: str | None = None
 
     def __call__(self, x: Array) -> Array:
         act = _ACTIVATIONS[self.activation]
-        h = x
+        out_dtype = self.layers[-1][0].dtype
+        cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        h = x.astype(cd) if cd else x
         for i, (W, b) in enumerate(self.layers):
+            if cd:
+                W, b = W.astype(cd), b.astype(cd)
             h = h @ W + b
             if i + 1 < len(self.layers):
                 h = act(h)
-        return h
+        return h.astype(out_dtype)
 
 
 @pytree_dataclass(static=("split", "inverted", "max_log_scale"))
@@ -133,8 +146,8 @@ class Permute(Bijector):
 
 def init_affine_coupling(key: Array, dim: int, hidden=(64, 64), *,
                          split: int | None = None, activation: str = "gelu",
-                         max_log_scale: float = 3.0,
-                         dtype=jnp.float32) -> AffineCoupling:
+                         max_log_scale: float = 3.0, dtype=jnp.float32,
+                         compute_dtype: str | None = None) -> AffineCoupling:
     """Identity-initialized coupling layer (zeroed final layer)."""
     if dim < 2:
         raise ValueError("coupling needs event dim >= 2")
@@ -151,14 +164,16 @@ def init_affine_coupling(key: Array, dim: int, hidden=(64, 64), *,
             W = jax.random.normal(keys[i], (fan_in, fan_out), dtype) \
                 * jnp.asarray(np.sqrt(2.0 / fan_in), dtype)
         layers.append((W, jnp.zeros((fan_out,), dtype)))
-    cond = MLPConditioner(layers=tuple(layers), activation=activation)
+    cond = MLPConditioner(layers=tuple(layers), activation=activation,
+                          compute_dtype=compute_dtype)
     return AffineCoupling(conditioner=cond, split=d_a,
                           max_log_scale=max_log_scale)
 
 
 def coupling_stack(key: Array, dim: int, n_layers: int = 4, hidden=(64, 64),
                    *, activation: str = "gelu", max_log_scale: float = 3.0,
-                   dtype=jnp.float32) -> "Bijector":
+                   dtype=jnp.float32,
+                   compute_dtype: str | None = None) -> "Bijector":
     """``n_layers`` identity-initialized couplings with reversal permutes
     in between, as a :class:`Chain` (applied first-to-last)."""
     from .base import Chain
@@ -170,5 +185,6 @@ def coupling_stack(key: Array, dim: int, n_layers: int = 4, hidden=(64, 64),
             stages.append(rev)
         stages.append(init_affine_coupling(
             k, dim, hidden, activation=activation,
-            max_log_scale=max_log_scale, dtype=dtype))
+            max_log_scale=max_log_scale, dtype=dtype,
+            compute_dtype=compute_dtype))
     return Chain.of(*stages)
