@@ -86,16 +86,18 @@ def coupling_flow_template(n_layers: int = 4, hidden=(32, 32), *,
     def template(dim: int, key, dtype=jnp.float32) -> Bijector:
         if dim < 2:
             return default_flow_template(dim, key, dtype)
-        k_c, k_h = jax.random.split(key)
+        from .bijectors.base import Chain
         v = lambda val: jnp.full((dim,), val, dtype)
         stages = [ScaleShift(a=v(1.0), b=v(0.0))]
         if tails:
             stages.append(JohnsonInv(gamma=v(0.0), delta=v(5.0),
                                      xi=v(0.0), lam=v(5.0)))
-        stack = coupling_stack(k_c, dim, n_layers, hidden, dtype=dtype)
+        stack = coupling_stack(key, dim, n_layers, hidden, dtype=dtype)
         stages.extend(stack.stages)
         stages.append(ScaleShift(a=v(1.0), b=v(0.0)))
-        return compose(*reversed(stages))
+        # stages is in APPLY order; Chain.of states that directly (compose
+        # takes math order, i.e. reversed).
+        return Chain.of(*stages)
 
     return template
 

@@ -7,11 +7,24 @@ per-particle computation stays shard-local; the only cross-chip traffic is
 * the adaptive-tempering bisection (operates on psum'd scalars, so every
   shard runs the identical iteration — deterministic consensus),
 * the distributed systematic resampler (parallel.resample),
-* mutation step-size consensus (pmean of acceptance — SURVEY.md §5).
+* mutation step-size consensus (pmean of acceptance — SURVEY.md §5),
+* learned-annealing-transport fitting (optional): the AFT weighted loss is
+  a sum over particles, so its gradient distributes as a psum over the
+  particle shards; every shard then runs the identical optimizer update
+  and the flow parameters stay replicated by construction. This is the
+  data-parallel analogue of the reference trainer reuse between SMC
+  temperatures (/root/reference/src/optimize_whitening.jl:25-45 via
+  smc.flow_transport).
 
 Everything else is embarrassingly parallel, which is why samples/s should
 scale ~linearly in chips (the ≥80% scaling-efficiency target in
 BASELINE.md).
+
+RNG contract: per-particle mutation keys are derived by splitting the step
+key to the *global* particle count and slicing each shard's contiguous
+block, so trajectories are independent of the mesh size and match the
+single-device ``smc.smc_sample`` streams given the same key (tested in
+tests/test_parallel.py).
 """
 from __future__ import annotations
 
@@ -21,6 +34,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -50,16 +64,33 @@ def make_sharded_smc_step(log_base: Callable, log_target: Callable,
                           ess_target: float = 0.5,
                           resample_threshold: float = 0.5,
                           resample_method: str | None = None,
-                          target_accept: float = 0.65):
+                          target_accept: float = 0.65,
+                          transport_steps: int = 0,
+                          transport_lr: float = 5e-2):
     """Build the jitted sharded one-temperature step:
-    (key, state) -> (state, info), with state.particles/log_weights sharded
-    on their leading axis over ``axis_name``."""
-    tempered = make_tempered(log_base, log_target)
+    ``(key, state) -> (state, info)``, with state.particles/log_weights
+    sharded on their leading axis over ``axis_name``.
 
-    def shard_step(key, particles, log_weights, beta, log_z, step_size):
+    With ``transport_steps > 0`` the step instead has signature
+    ``(key, state, flow) -> (state, info)``: ``flow`` is an
+    identity-initialized Bijector template (replicated pytree) that is fit
+    to the Annealed Flow Transport objective between the current and next
+    temperature (same loss/optimizer as smc.flow_transport, psum'd grads)
+    and applied to the particles with the AFT-corrected incremental weight.
+
+    Note the factory is ``lru_cache``d on the identity of ``log_base`` /
+    ``log_target``: pass module-level functions (or reuse the same closure
+    object) to avoid silent recompilation — see smc.smc for the same
+    contract.
+    """
+    tempered = make_tempered(log_base, log_target)
+    n_shards = mesh.shape[axis_name]
+
+    def shard_step(key, particles, log_weights, beta, log_z, step_size,
+                   flow=None):
         n_local, dim = particles.shape
         dtype = particles.dtype
-        n_global = lax.psum(1, axis_name) * n_local
+        n_global = n_shards * n_local
         k_res, k_mut = jax.random.split(key)
 
         lp0 = jax.vmap(log_base)(particles)
@@ -91,11 +122,57 @@ def make_sharded_smc_step(log_base: Callable, log_target: Callable,
                                   (beta, one, jnp.asarray(0, jnp.int32)))
         beta_new = jnp.where(full, one, lo)
 
+        if transport_steps > 0:
+            # --- learned annealing transport (AFT), fit data-parallel.
+            # Loss = -sum_i w_i [log pi_beta'(T(x_i)) + ladj_T(x_i)] over
+            # the even-index (training) half, w normalized globally over
+            # that half; the sum distributes over shards, so a psum of
+            # local loss-gradients IS the global gradient. Every shard then
+            # applies the identical adam update => flow params remain
+            # replicated (no broadcast needed). Because n_local is even,
+            # local even indices ARE the global even indices, matching the
+            # single-device flow_transport fitter exactly.
+            x_fit = particles[0::2]
+            lw_fit = log_weights[0::2]
+            w_fit = jnp.exp(lw_fit - _global_logsumexp(lw_fit, axis_name))
+            logp_next = tempered(beta_new)
+            logp_cur = tempered(beta)
+
+            def loss_fn(fl):
+                y, ladj = fl.forward_and_ladj(x_fit)
+                return -jnp.sum(w_fit * (jax.vmap(logp_next)(y) + ladj))
+
+            opt = optax.adam(transport_lr)
+
+            def train_step(carry, _):
+                fl, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(fl)
+                grads = jax.tree.map(lambda g: lax.psum(g, axis_name),
+                                     grads)
+                updates, opt_state = opt.update(grads, opt_state, fl)
+                fl = optax.apply_updates(fl, updates)
+                fl = fl.canonicalize()
+                return (fl, opt_state), loss
+
+            (flow, _), _ = lax.scan(train_step, (flow, opt.init(flow)),
+                                    None, length=transport_steps)
+            y, ladj = flow.forward_and_ladj(particles)
+            lw_inc = (jax.vmap(logp_next)(y) + ladj
+                      - jax.vmap(logp_cur)(particles))
+            particles = y
+            # log Z increment from the held-out odd half only (see
+            # flow_transport docstring: the training half's realized
+            # increments are maximized by the fit, an O(params/n) upward
+            # bias).
+            lw_prev_z, lw_inc_z = log_weights[1::2], lw_inc[1::2]
+        else:
+            lw_inc = (beta_new - beta) * log_ratio
+            lw_prev_z, lw_inc_z = log_weights, lw_inc
+
         # --- reweight + logZ (global reductions).
-        lw_inc = (beta_new - beta) * log_ratio
-        log_norm_prev = _global_logsumexp(log_weights, axis_name)
         log_z = log_z + _global_logsumexp(
-            log_weights - log_norm_prev + lw_inc, axis_name)
+            lw_prev_z - _global_logsumexp(lw_prev_z, axis_name) + lw_inc_z,
+            axis_name)
         log_weights = log_weights + lw_inc
 
         cur_ess = jnp.exp(_global_log_ess(log_weights, axis_name))
@@ -126,13 +203,17 @@ def make_sharded_smc_step(log_base: Callable, log_target: Callable,
             axis_name)
         inv_mass = jnp.clip(var_p, 1e-6, 1e6)
 
+        my_dev = lax.axis_index(axis_name)
+
         def mutate(carry, t):
             states, eps = carry
-            keys = jax.random.split(jax.random.fold_in(k_mut, t), n_local)
-            # Decorrelate shards: fold the shard index into each key.
-            keys = jax.vmap(
-                lambda kk: jax.random.fold_in(
-                    kk, lax.axis_index(axis_name)))(keys)
+            # Global split + contiguous slice: per-particle streams are
+            # independent of the mesh size and identical to the
+            # single-device smc.smc path (keys are 2 uint32 each, so the
+            # global key table is noise next to the particle arrays).
+            keys = jax.random.split(jax.random.fold_in(k_mut, t), n_global)
+            keys = lax.dynamic_slice_in_dim(keys, my_dev * n_local,
+                                            n_local, 0)
             states, info = jax.vmap(kernel, in_axes=(0, 0, None, None))(
                 keys, states, eps, inv_mass)
             acc = lax.pmean(jnp.mean(info.accept_prob), axis_name)
@@ -151,19 +232,31 @@ def make_sharded_smc_step(log_base: Callable, log_target: Callable,
     repl = P()
     info_specs = SMCInfo(beta=repl, ess=repl, accept_prob=repl,
                          resampled=repl, log_z=repl)
+    in_specs = (repl, sharded, sharded, repl, repl, repl)
+    if transport_steps > 0:
+        in_specs = in_specs + (repl,)  # flow pytree: replicated (prefix P())
     fn = shard_map(
         shard_step, mesh=mesh,
-        in_specs=(repl, sharded, sharded, repl, repl, repl),
+        in_specs=in_specs,
         out_specs=((sharded, sharded, repl, repl, repl), info_specs),
         check_vma=False)
 
-    @jax.jit
-    def step(key, state: SMCState):
-        out, info = fn(key, state.particles, state.log_weights, state.beta,
-                       state.log_z, state.step_size)
-        particles, log_weights, beta, log_z, step_size = out
-        return SMCState(particles, log_weights, beta, log_z,
-                        step_size), info
+    if transport_steps > 0:
+        @jax.jit
+        def step(key, state: SMCState, flow):
+            out, info = fn(key, state.particles, state.log_weights,
+                           state.beta, state.log_z, state.step_size, flow)
+            particles, log_weights, beta, log_z, step_size = out
+            return SMCState(particles, log_weights, beta, log_z,
+                            step_size), info
+    else:
+        @jax.jit
+        def step(key, state: SMCState):
+            out, info = fn(key, state.particles, state.log_weights,
+                           state.beta, state.log_z, state.step_size)
+            particles, log_weights, beta, log_z, step_size = out
+            return SMCState(particles, log_weights, beta, log_z,
+                            step_size), info
 
     return step
 
@@ -177,12 +270,24 @@ def smc_sample_sharded(log_target: Callable, key, mesh: Mesh, *, dim: int,
                        ess_target: float = 0.5,
                        resample_threshold: float = 0.5,
                        initial_step_size: float = 0.2,
-                       max_temps: int = 200, dtype=jnp.float32):
+                       max_temps: int = 200,
+                       transport_template_fn: Optional[Callable] = None,
+                       transport_steps: int = 100,
+                       transport_lr: float = 5e-2,
+                       dtype=jnp.float32):
     """Adaptive tempered SMC with particles sharded over ``mesh``.
 
-    Same semantics as smc.smc_sample (without learned transports, which
-    compose at the host level identically); returns
+    Same semantics as smc.smc_sample; returns
     (particles, log_weights, log_z, infos).
+
+    ``transport_template_fn(particles) -> Bijector`` (optional) enables
+    learned annealing transports (BASELINE.json config #5): at each
+    temperature a fresh identity-initialized flow from the template is fit
+    to the AFT objective *data-parallel over the particle shards* (psum'd
+    gradients, replicated parameters) and applied with the exact
+    importance-corrected incremental weight. Matches
+    ``smc.smc_sample(fit_transport=make_transport_fitter(...))`` semantics;
+    use ``smc.flow_transport.default_template`` for the affine transport.
     """
     from ..distributions.base import std_normal_logpdf_sum
 
@@ -194,6 +299,10 @@ def smc_sample_sharded(log_target: Callable, key, mesh: Mesh, *, dim: int,
     nshards = mesh.shape[axis_name]
     assert num_particles % nshards == 0, \
         f"num_particles {num_particles} must divide over {nshards} shards"
+    if transport_template_fn is not None:
+        assert (num_particles // nshards) % 2 == 0, \
+            "learned transports need an even per-shard particle count " \
+            "(train/estimation split aligned with the single-device path)"
 
     key, k0 = jax.random.split(key)
     particles = base_sampler(k0, num_particles)
@@ -205,15 +314,26 @@ def smc_sample_sharded(log_target: Callable, key, mesh: Mesh, *, dim: int,
         log_z=jnp.zeros((), dtype),
         step_size=jnp.asarray(initial_step_size, dtype),
     )
+    use_transport = transport_template_fn is not None
     step = make_sharded_smc_step(
         log_base, log_target, mesh, axis_name=axis_name,
         mutation_steps=mutation_steps, leapfrog_steps=leapfrog_steps,
-        ess_target=ess_target, resample_threshold=resample_threshold)
+        ess_target=ess_target, resample_threshold=resample_threshold,
+        transport_steps=transport_steps if use_transport else 0,
+        transport_lr=transport_lr)
 
     infos = []
     for t in range(max_temps):
-        key, k_t = jax.random.split(key)
-        state, info = step(k_t, state)
+        # 3-way split to match smc.smc_sample's per-temperature stream
+        # (k_f feeds fit_transport there; the default fitter ignores it, and
+        # the sharded fit is deterministic given the particles, so it is
+        # unused here — kept solely for same-key trajectory equivalence).
+        key, k_t, _k_f = jax.random.split(key, 3)
+        if use_transport:
+            flow = transport_template_fn(state.particles)
+            state, info = step(k_t, state, flow)
+        else:
+            state, info = step(k_t, state)
         infos.append(info)
         if float(state.beta) >= 1.0:
             break

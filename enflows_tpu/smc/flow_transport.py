@@ -8,6 +8,18 @@ reverse-KL surrogate (Annealed Flow Transport objective, PAPERS.md):
 with w the normalized particle weights at beta. Reuses the M1 optax/scan
 training machinery (SURVEY.md §7 M3: "learned annealing flow transports
 (reuse M1 trainer between temperature steps)").
+
+Train/estimation split (the AFT paper's adaptation-bias control): the loss
+is, term by term, the realized incremental weight ``lw_inc_i`` up to a
+T-independent constant, so fitting T on the same particles that estimate
+log Z *directly maximizes the realized estimate* — a positive O(params/n)
+bias that multiplies across dims and temperatures (measured: +0.31 nats on
+the 100-D bimodal BASELINE config at 32k particles). The fitter therefore
+trains on the even-index half of the population only; smc_sample /
+smc_sample_sharded estimate the log Z increment from the held-out odd half
+(T is independent of those particles given the training half, restoring
+the unbiasedness argument). Measured after the split: +0.01 nats on the
+same config.
 """
 from __future__ import annotations
 
@@ -41,7 +53,10 @@ def make_transport_fitter(log_base: Callable, log_target: Callable,
 
     @jax.jit
     def fit(particles, log_weights, beta_next, flow):
-        w = jax.nn.softmax(log_weights)
+        # Train on the even-index half only (see module docstring); the
+        # held-out odd half keeps the log Z increment unbiased.
+        particles = particles[0::2]
+        w = jax.nn.softmax(log_weights[0::2])
 
         def logp_next(q):
             return ((1.0 - beta_next) * log_base(q)

@@ -129,8 +129,15 @@ def make_compute_next_beta(log_base: Callable, log_target: Callable,
 def make_reweight_resample_mutate(
         log_base: Callable, log_target: Callable, *,
         mutation_steps: int = 5, leapfrog_steps: int = 10,
-        resample_threshold: float = 0.5, target_accept: float = 0.65):
-    """Jitted: (key, state, beta_new, lw_inc) -> (state, info)."""
+        resample_threshold: float = 0.5, target_accept: float = 0.65,
+        holdout_logz: bool = False):
+    """Jitted: (key, state, beta_new, lw_inc) -> (state, info).
+
+    ``holdout_logz``: estimate the log Z increment from the odd-index half
+    of the population only — required when ``lw_inc`` came from a learned
+    transport fit on the even-index half (see flow_transport module
+    docstring for the adaptation-bias argument).
+    """
     tempered = make_tempered(log_base, log_target)
 
     @jax.jit
@@ -139,11 +146,15 @@ def make_reweight_resample_mutate(
         dtype = state.particles.dtype
         k_res, k_mut = jax.random.split(key)
 
-        # log Z: weighted mean of incremental weights under prev weights.
-        log_w_prev_norm = state.log_weights - jax.scipy.special.logsumexp(
-            state.log_weights)
+        # log Z: weighted mean of incremental weights under prev weights
+        # (restricted to the held-out half when the transport was fit on
+        # the training half).
+        lw_prev = state.log_weights[1::2] if holdout_logz else \
+            state.log_weights
+        lw_i = lw_inc[1::2] if holdout_logz else lw_inc
+        log_w_prev_norm = lw_prev - jax.scipy.special.logsumexp(lw_prev)
         log_z = state.log_z + jax.scipy.special.logsumexp(
-            log_w_prev_norm + lw_inc)
+            log_w_prev_norm + lw_i)
 
         log_weights = state.log_weights + lw_inc
         cur_ess = jnp.exp(log_ess(log_weights))
@@ -230,10 +241,15 @@ def smc_sample(log_target: Callable, key, *, dim: int,
     )
     compute_next_beta = make_compute_next_beta(log_base, log_target,
                                                ess_target)
+    if fit_transport is not None:
+        assert num_particles % 2 == 0, \
+            "learned transports need an even particle count (train/" \
+            "estimation split)"
     step = make_reweight_resample_mutate(
         log_base, log_target, mutation_steps=mutation_steps,
         leapfrog_steps=leapfrog_steps,
-        resample_threshold=resample_threshold)
+        resample_threshold=resample_threshold,
+        holdout_logz=fit_transport is not None)
     tempered = make_tempered(log_base, log_target)
 
     infos = []

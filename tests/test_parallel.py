@@ -120,6 +120,98 @@ def test_sharded_smc_matches_single_device(mesh):
     assert abs(len(inf1) - len(inf2)) <= 3
 
 
+def test_sharded_smc_same_key_trajectory_equivalence(mesh):
+    # The strongest multi-chip correctness gate: given the same key, the
+    # sharded path follows the single-device path's exact trajectory
+    # (mutation RNG streams are global-split-and-sliced, the resample
+    # uniform is shared, and all cross-shard reductions only differ in
+    # summation order). f64 keeps the reduction-order noise far below the
+    # tolerance over a full multi-temperature run.
+    mu = jnp.asarray([1.5, -1.0], DT)
+
+    def log_target(q):
+        d = q - mu
+        return -0.5 * jnp.sum(d * d) / 0.25
+
+    p1, lw1, lz1, inf1 = smc_sample(log_target, jax.random.PRNGKey(4),
+                                    dim=2, num_particles=2048, dtype=DT)
+    p2, lw2, lz2, inf2 = smc_sample_sharded(
+        log_target, jax.random.PRNGKey(4), mesh, dim=2,
+        num_particles=2048, dtype=DT)
+    assert len(inf1) == len(inf2)
+    np.testing.assert_allclose([float(i.beta) for i in inf1],
+                               [float(i.beta) for i in inf2], rtol=1e-9)
+    np.testing.assert_allclose(float(lz1), float(lz2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lw1), np.asarray(lw2), atol=1e-6)
+
+
+def test_sharded_transport_trajectory_matches_single_device(mesh):
+    # BASELINE.json config #5 composition: learned annealing transports x
+    # sharded particles. The transport is fit data-parallel (psum'd grads)
+    # inside the sharded step and must reproduce the single-device
+    # fit_transport trajectory given the same key.
+    from enflows_tpu.smc import make_transport_fitter
+    from enflows_tpu.smc.flow_transport import default_template
+    from enflows_tpu.distributions.base import std_normal_logpdf_sum
+
+    mu = jnp.asarray([3.0, -2.0], DT)
+    s = 0.5
+
+    def log_target(q):
+        d = q - mu
+        return -0.5 * jnp.sum(d * d) / s**2
+
+    fit = make_transport_fitter(std_normal_logpdf_sum, log_target,
+                                nsteps=80)
+    p1, lw1, lz1, inf1 = smc_sample(
+        log_target, jax.random.PRNGKey(0), dim=2, num_particles=4096,
+        fit_transport=fit, dtype=DT)
+    p2, lw2, lz2, inf2 = smc_sample_sharded(
+        log_target, jax.random.PRNGKey(0), mesh, dim=2,
+        num_particles=4096, transport_template_fn=default_template,
+        transport_steps=80, dtype=DT)
+    assert len(inf1) == len(inf2)
+    np.testing.assert_allclose([float(i.beta) for i in inf1],
+                               [float(i.beta) for i in inf2], rtol=1e-9)
+    np.testing.assert_allclose(float(lz1), float(lz2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    # And both hit the analytic answer.
+    true_logz = np.log(2 * np.pi * s**2)
+    assert abs(float(lz2) - true_logz) < 0.1
+    w2 = np.asarray(jax.nn.softmax(lw2))
+    m2 = (w2[:, None] * np.asarray(p2)).sum(0)
+    np.testing.assert_allclose(m2, np.asarray(mu), atol=0.05)
+
+
+def test_sharded_transport_multimodal_logz(mesh):
+    # Reduced-dim CI gate for the 100-D multimodal BASELINE config (the
+    # full-size run lives in benchmarks/bench_smc.py and BASELINE.md):
+    # sharded particles + learned transports on a bimodal mixture must
+    # keep both modes and an unbiased log Z (the train/estimation split in
+    # flow_transport is what makes the latter hold — without it this gate
+    # fails by ~5x the tolerance).
+    from enflows_tpu.smc.flow_transport import default_template
+
+    dim = 32
+
+    def log_target(q):
+        a = -0.5 * jnp.sum((q - 1.5) ** 2) + jnp.log(0.5)
+        b = -0.5 * jnp.sum((q + 1.5) ** 2) + jnp.log(0.5)
+        return jnp.logaddexp(a, b)
+
+    parts, lw, logz, infos = smc_sample_sharded(
+        log_target, jax.random.PRNGKey(3), mesh, dim=dim,
+        num_particles=8192, mutation_steps=5,
+        transport_template_fn=default_template, transport_steps=60,
+        dtype=DT)
+    w = np.asarray(jax.nn.softmax(lw))
+    frac = float((w * (np.asarray(parts)[:, 0] > 0)).sum())
+    assert 0.35 < frac < 0.65, frac
+    true_logz = dim * 0.5 * np.log(2 * np.pi)
+    assert abs(float(logz) - true_logz) < 0.15, float(logz) - true_logz
+
+
 def test_sharded_mcmc_moments_and_layout(mesh):
     cov = jnp.asarray([[2.0, 1.2], [1.2, 1.0]], DT)
     prec = jnp.linalg.inv(cov)
