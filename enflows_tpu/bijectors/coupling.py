@@ -101,6 +101,10 @@ class AffineCoupling(Bijector):
 
     def _s_t(self, x_a: Array) -> tuple[Array, Array]:
         h = self.conditioner(x_a)
+        if h.shape[-1] % 2:
+            raise ValueError(
+                f"conditioner output width {h.shape[-1]} must be even "
+                "(first half log-scale, second half shift)")
         d_b = h.shape[-1] // 2
         s_raw, t = h[..., :d_b], h[..., d_b:]
         m = self.max_log_scale
@@ -109,6 +113,11 @@ class AffineCoupling(Bijector):
     def forward_and_ladj(self, x: Array) -> tuple[Array, Array]:
         x_a, x_b = x[..., : self.split], x[..., self.split:]
         s, t = self._s_t(x_a)
+        if s.shape[-1] != x_b.shape[-1]:
+            raise ValueError(
+                f"conditioner emits {s.shape[-1]} (s, t) pairs but the "
+                f"transformed half has {x_b.shape[-1]} dims "
+                f"(event dim {x.shape[-1]}, split {self.split})")
         if self.inverted:
             y_b = (x_b - t) * jnp.exp(-s)
             ladj = -jnp.sum(s, axis=-1)
@@ -152,6 +161,11 @@ def init_affine_coupling(key: Array, dim: int, hidden=(64, 64), *,
     if dim < 2:
         raise ValueError("coupling needs event dim >= 2")
     d_a = dim // 2 if split is None else split
+    if not 0 < d_a < dim:
+        raise ValueError(
+            f"split must satisfy 0 < split < dim (got split={d_a}, "
+            f"dim={dim}); split=0 would be a constant shift and "
+            f"split>=dim an identity layer")
     d_b = dim - d_a
     sizes = (d_a,) + tuple(hidden) + (2 * d_b,)
     layers = []

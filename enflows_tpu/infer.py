@@ -178,8 +178,9 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
     ``mesh`` (a `jax.sharding.Mesh` with a 'chains' axis, see
     `parallel.make_mesh`): shards the whole pipeline — VI/whitening batch
     axis, MCMC chains (`parallel.sample_sharded`), SMC particles
-    (`parallel.smc_sample_sharded`, host-level transports unsupported
-    there) — params replicated, reductions riding XLA collectives.
+    (`parallel.smc_sample_sharded`, incl. learned annealing transports
+    fitted data-parallel via ``transport_template_fn``) — params
+    replicated, reductions riding XLA collectives.
 
     ``refine_rounds=N`` (MCMC methods): after sampling, re-fit the
     whitening transport on the round's own draws (mode-covering) and
@@ -249,10 +250,13 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
         w = np.exp(np.asarray(log_w, np.float64)
                    - np.max(np.asarray(log_w)))
         w /= w.sum()
+        mean_w = (w[:, None] * x).sum(axis=0)
+        # Clamp the variance radicand: near-degenerate weights can make
+        # E[x^2] - E[x]^2 slightly negative in floating point.
+        var_w = np.maximum((w[:, None] * x**2).sum(axis=0) - mean_w**2, 0.0)
         diagnostics = {
-            "mean": (w[:, None] * x).sum(axis=0),
-            "sd": np.sqrt((w[:, None] * x**2).sum(axis=0)
-                          - ((w[:, None] * x).sum(axis=0)) ** 2),
+            "mean": mean_w,
+            "sd": np.sqrt(var_w),
             "log_z": float(log_z),
             "weight_ess": float(1.0 / np.sum(w**2)),
         }

@@ -57,7 +57,7 @@ def _global_logsumexp(x, axis_name):
     return m + jnp.log(lax.psum(jnp.sum(jnp.exp(x - m)), axis_name))
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=8)
 def make_sharded_smc_step(log_base: Callable, log_target: Callable,
                           mesh: Mesh, *, axis_name: str = "chains",
                           mutation_steps: int = 5, leapfrog_steps: int = 10,

