@@ -269,6 +269,7 @@ def smc_sample_sharded(log_target: Callable, key, mesh: Mesh, *, dim: int,
                        mutation_steps: int = 5, leapfrog_steps: int = 10,
                        ess_target: float = 0.5,
                        resample_threshold: float = 0.5,
+                       resample_method: str | None = None,
                        initial_step_size: float = 0.2,
                        max_temps: int = 200,
                        transport_template_fn: Optional[Callable] = None,
@@ -319,6 +320,7 @@ def smc_sample_sharded(log_target: Callable, key, mesh: Mesh, *, dim: int,
         log_base, log_target, mesh, axis_name=axis_name,
         mutation_steps=mutation_steps, leapfrog_steps=leapfrog_steps,
         ess_target=ess_target, resample_threshold=resample_threshold,
+        resample_method=resample_method,
         transport_steps=transport_steps if use_transport else 0,
         transport_lr=transport_lr)
 
