@@ -45,7 +45,7 @@ def _vmap_kernel(kernel):
 
 def window_adaptation(kernel, initial_states: HMCState, key,
                       num_warmup: int, *, initial_step_size=0.1,
-                      target_accept=0.8) -> WarmupResult:
+                      target_accept=0.8, metrics=None) -> WarmupResult:
     """Stan-style warmup. ``kernel(key, state, step_size, inv_mass)`` is a
     single-chain transition; ``initial_states`` carries a chains axis."""
     dim = initial_states.q.shape[-1]
@@ -83,19 +83,26 @@ def window_adaptation(kernel, initial_states: HMCState, key,
         da, wf, inv_mass = lax.cond(
             end_flag, on_window_end, lambda a: a, (da, wf, inv_mass))
 
+        if metrics is not None:
+            metrics.from_jit(t, warmup_accept=accept_mean,
+                             warmup_step_size=step_size,
+                             warmup_divergences=jnp.sum(
+                                 getattr(info, "divergent",
+                                         jnp.zeros(()))))
         return (states, da, wf, inv_mass), None
 
     carry0 = (initial_states, da_init(initial_step_size, dtype),
               welford_init(dim, dtype), jnp.ones(dim, dtype))
     xs = (jnp.arange(num_warmup), in_slow, window_end)
-    (states, da, _, inv_mass), _ = lax.scan(step, carry0, xs)
+    with jax.named_scope("enflows.mcmc.warmup"):
+        (states, da, _, inv_mass), _ = lax.scan(step, carry0, xs)
     return WarmupResult(states=states,
                         step_size=jnp.exp(da.log_step_avg),
                         inv_mass_diag=inv_mass)
 
 
 def run_chains(kernel, states: HMCState, key, num_samples: int,
-               step_size, inv_mass_diag):
+               step_size, inv_mass_diag, metrics=None):
     """Sample ``num_samples`` transitions; returns positions + stats."""
     nchains = states.q.shape[0]
     vkernel = _vmap_kernel(kernel)
@@ -103,12 +110,16 @@ def run_chains(kernel, states: HMCState, key, num_samples: int,
     def step(states, t):
         keys = jax.random.split(jax.random.fold_in(key, t), nchains)
         states, info = vkernel(keys, states, step_size, inv_mass_diag)
+        if metrics is not None:
+            metrics.from_jit(t, accept=jnp.mean(info.accept_prob),
+                             divergences=jnp.sum(info.divergent))
         return states, (states.q, info.accept_prob, info.divergent,
                         getattr(info, "num_steps", jnp.zeros(nchains)),
                         info.energy)
 
-    states, (qs, acc, div, nsteps, energy) = lax.scan(
-        step, states, jnp.arange(num_samples))
+    with jax.named_scope("enflows.mcmc.sampling"):
+        states, (qs, acc, div, nsteps, energy) = lax.scan(
+            step, states, jnp.arange(num_samples))
     stats = SampleStats(accept_prob=acc, divergent=div, num_steps=nsteps,
                         step_size=step_size, inv_mass_diag=inv_mass_diag,
                         energy=jnp.swapaxes(energy, 0, 1))
@@ -118,10 +129,12 @@ def run_chains(kernel, states: HMCState, key, num_samples: int,
 
 @partial(jax.jit, static_argnames=("logdensity_fn", "num_warmup",
                                    "num_samples", "num_chains", "dim",
-                                   "max_depth", "algorithm", "num_steps"))
+                                   "max_depth", "algorithm", "num_steps",
+                                   "metrics"))
 def _sample_impl(logdensity_fn, key, initial_position, *, num_warmup,
                  num_samples, num_chains, dim, max_depth, algorithm,
-                 num_steps, initial_step_size, target_accept):
+                 num_steps, initial_step_size, target_accept,
+                 metrics=None):
     if algorithm == "nuts":
         kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
     else:
@@ -131,10 +144,10 @@ def _sample_impl(logdensity_fn, key, initial_position, *, num_warmup,
         initial_position)
     warm = window_adaptation(kernel, states, k_warm, num_warmup,
                              initial_step_size=initial_step_size,
-                             target_accept=target_accept)
+                             target_accept=target_accept, metrics=metrics)
     samples, final_states, stats = run_chains(
         kernel, warm.states, k_samp, num_samples,
-        warm.step_size, warm.inv_mass_diag)
+        warm.step_size, warm.inv_mass_diag, metrics=metrics)
     return samples, final_states, stats
 
 
@@ -143,7 +156,7 @@ def sample(logdensity_fn: Callable, key, *, dim: int,
            num_samples: int = 1000, algorithm: str = "nuts",
            max_depth: int = 10, num_steps: int = 32,
            initial_position=None, initial_step_size: float = 0.1,
-           target_accept: float = 0.8, dtype=jnp.float32):
+           target_accept: float = 0.8, dtype=jnp.float32, metrics=None):
     """Adaptive MCMC: windowed warmup then sampling.
 
     Returns (samples (chains, num_samples, dim), final_states, stats).
@@ -152,6 +165,11 @@ def sample(logdensity_fn: Callable, key, *, dim: int,
     fixed-length HMC, see mcmc.chees — prefer it for many-chain TPU runs;
     it uses its own optimal acceptance target 0.651, ignoring
     ``target_accept``; call chees_sample directly to override).
+
+    ``metrics`` (optional ``utils.MetricsLogger``): streams per-transition
+    acceptance/step-size/divergence records out of the compiled warmup and
+    sampling scans (opt-in; the host callback serializes with the device
+    stream — leave None for throughput runs).
     """
     if algorithm == "chees":
         from .chees import chees_sample
@@ -172,4 +190,5 @@ def sample(logdensity_fn: Callable, key, *, dim: int,
         num_chains=num_chains, dim=dim, max_depth=max_depth,
         algorithm=algorithm, num_steps=num_steps,
         initial_step_size=jnp.asarray(initial_step_size, dtype),
-        target_accept=jnp.asarray(target_accept, dtype))
+        target_accept=jnp.asarray(target_accept, dtype),
+        metrics=metrics)

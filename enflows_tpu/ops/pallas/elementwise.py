@@ -658,8 +658,9 @@ def fused_negll_value_and_grad(chain: Bijector, x_flat: jax.Array,
             lambda c: mvnormal_negll_packed(c, x_flat, dim))(chain)
     static_types, nparams, flat_params = _chain_static_and_params(
         chain, dim, x_flat.dtype)
-    negll, pattern_grads = _fused_negll_grad_impl(
-        (static_types, nparams, dim), x_flat, flat_params)
+    with jax.named_scope("enflows.pallas.fused_negll_grad"):
+        negll, pattern_grads = _fused_negll_grad_impl(
+            (static_types, nparams, dim), x_flat, flat_params)
     _, vjp_params = jax.vjp(
         lambda c: _chain_static_and_params(c, dim, x_flat.dtype)[2], chain)
     gc, = vjp_params(tuple(
@@ -755,7 +756,8 @@ def fused_forward_and_ladj_packed(chain: Bijector, x_flat: jax.Array,
     if not is_fusible_chain(chain, dim, x_flat.dtype):
         y, ladj = chain.forward_and_ladj(x_flat.reshape(-1, dim))
         return y.reshape(-1), ladj
-    return _fused_packed_op(dim, chain, x_flat)
+    with jax.named_scope("enflows.pallas.fused_fwd_ladj_packed"):
+        return _fused_packed_op(dim, chain, x_flat)
 
 
 def _rowwise_stage_inputs(chain: Bijector, dim: int, dtype):
@@ -894,8 +896,10 @@ def fused_forward_and_ladj(chain: Bijector, x: jax.Array,
         return chain.forward_and_ladj(x)
     n, dim = x.shape
     if is_fusible_chain(chain, dim, x.dtype):
-        y_flat, ladj = _fused_packed_op(dim, chain, x.reshape(-1))
+        with jax.named_scope("enflows.pallas.fused_fwd_ladj_packed"):
+            y_flat, ladj = _fused_packed_op(dim, chain, x.reshape(-1))
         return y_flat.reshape(n, dim), ladj
     if allow_rowwise and is_rowwise_fusible(chain, dim, x.dtype):
-        return _fused_rowwise_op(dim, chain, x)
+        with jax.named_scope("enflows.pallas.fused_fwd_ladj_rowwise"):
+            return _fused_rowwise_op(dim, chain, x)
     return chain.forward_and_ladj(x)

@@ -275,6 +275,7 @@ def smc_sample_sharded(log_target: Callable, key, mesh: Mesh, *, dim: int,
                        transport_template_fn: Optional[Callable] = None,
                        transport_steps: int = 100,
                        transport_lr: float = 5e-2,
+                       metrics=None,
                        dtype=jnp.float32):
     """Adaptive tempered SMC with particles sharded over ``mesh``.
 
@@ -337,6 +338,12 @@ def smc_sample_sharded(log_target: Callable, key, mesh: Mesh, *, dim: int,
         else:
             state, info = step(k_t, state)
         infos.append(info)
+        if metrics is not None:
+            metrics.log(len(infos) - 1, beta=float(info.beta),
+                        ess=float(info.ess),
+                        accept=float(info.accept_prob),
+                        resampled=bool(info.resampled),
+                        log_z=float(info.log_z))
         if float(state.beta) >= 1.0:
             break
     return state.particles, state.log_weights, state.log_z, infos

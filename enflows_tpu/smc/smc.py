@@ -265,6 +265,7 @@ def smc_sample(log_target: Callable, key, *, dim: int,
                initial_step_size: float = 0.2, max_temps: int = 200,
                fit_transport: Optional[Callable] = None,
                kernels: Optional[SMCKernels] = None,
+               metrics=None,
                dtype=jnp.float32):
     """Adaptive tempered SMC from base to ``log_target``.
 
@@ -278,6 +279,9 @@ def smc_sample(log_target: Callable, key, *, dim: int,
     ``kernels`` (optional): pre-built :class:`SMCKernels` from
     :func:`build_smc_kernels`; pass this when looping over smc_sample with
     targets built as fresh closures to avoid identity-keyed recompiles.
+
+    ``metrics`` (optional ``utils.MetricsLogger``): logs one record per
+    temperature (beta, ESS, acceptance, resampled, running log Z).
     """
     if log_base is None:
         # Module-level function (stable identity) so the jitted factories
@@ -334,6 +338,12 @@ def smc_sample(log_target: Callable, key, *, dim: int,
 
         state, info = step(k_t, state, beta_new, lw_inc)
         infos.append(info)
+        if metrics is not None:
+            metrics.log(len(infos) - 1, beta=float(info.beta),
+                        ess=float(info.ess),
+                        accept=float(info.accept_prob),
+                        resampled=bool(info.resampled),
+                        log_z=float(info.log_z))
         if float(state.beta) >= 1.0:
             break
     return state.particles, state.log_weights, state.log_z, infos

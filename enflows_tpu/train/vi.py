@@ -65,12 +65,17 @@ def optimize_elbo(
     mesh=None,
     batch_axis: str = "batch",
     dtype=jnp.float32,
+    metrics=None,
 ) -> VIResult:
     """Fit a flow transport to an unnormalized log-density by ELBO ascent.
 
     Counterpart of optimise_ELBO (reference :44-63): resumable opt_state,
     spliced history, ADAGrad default, antithetic base draws.
     ``logdensity_fn`` maps (..., dim) -> (...) log p~(z) per sample.
+
+    ``metrics`` (optional ``utils.MetricsLogger``): streams per-step nELBO
+    records out of the compiled scan (opt-in; host callback serializes
+    with the device stream).
     """
     if optimizer is None:
         optimizer = optax.adagrad(1e-1)
@@ -95,12 +100,15 @@ def optimize_elbo(
         updates, opt_state = optimizer.update(grads, opt_state, flow)
         flow = optax.apply_updates(flow, updates)
         flow = flow.canonicalize()
+        if metrics is not None:
+            metrics.from_jit(i, nelbo=nelbo)
         return (flow, opt_state), nelbo
 
     @jax.jit
     def run(flow, opt_state):
-        (flow, opt_state), hist = lax.scan(
-            step, (flow, opt_state), jnp.arange(nsteps))
+        with jax.named_scope("enflows.train.vi"):
+            (flow, opt_state), hist = lax.scan(
+                step, (flow, opt_state), jnp.arange(nsteps))
         return flow, opt_state, hist
 
     flow, opt_state, hist = run(initial_flow, opt_state)

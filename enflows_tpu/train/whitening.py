@@ -100,6 +100,7 @@ def optimize_whitening(
     mesh: Mesh | None = None,
     batch_axis: str = "batch",
     use_fused: bool | None = None,
+    metrics=None,
 ) -> WhiteningResult:
     """Fit ``initial_flow`` so that it whitens ``samples``.
 
@@ -110,6 +111,11 @@ def optimize_whitening(
     samples: (n, dim). The n samples are split into ``nbatches`` equal
     batches (remainder dropped, matching Iterators.partition semantics
     closely enough for training); the scan runs nepochs × nbatches steps.
+
+    ``metrics`` (optional ``utils.MetricsLogger``): streams per-step negll
+    records out of the compiled scan via ``jax.debug.callback`` (SURVEY.md
+    §5 metrics row). Opt-in because the host callback serializes with the
+    device stream — leave None in throughput-critical runs.
     """
     if optimizer is None:
         optimizer = optax.adagrad(1e-1)
@@ -147,15 +153,28 @@ def optimize_whitening(
     else:
         step = make_train_step(optimizer)
 
-    def epoch(carry, _):
-        carry, neglls = lax.scan(step, carry, batches)
+    if metrics is not None:
+        inner_step = step
+
+        def step(carry, xs):
+            i, X = xs
+            carry, negll = inner_step(carry, X)
+            metrics.from_jit(i, negll=negll)
+            return carry, negll
+
+    def epoch(carry, e):
+        if metrics is None:
+            carry, neglls = lax.scan(step, carry, batches)
+        else:
+            idx = e * nbatches + jnp.arange(nbatches)
+            carry, neglls = lax.scan(step, carry, (idx, batches))
         return carry, neglls
 
     @jax.jit
     def run(flow, opt_state, batches):
-        (flow, opt_state), neglls = lax.scan(
-            lambda c, _: epoch(c, None), (flow, opt_state), None,
-            length=nepochs)
+        with jax.named_scope("enflows.train.whitening"):
+            (flow, opt_state), neglls = lax.scan(
+                epoch, (flow, opt_state), jnp.arange(nepochs))
         return flow, opt_state, neglls.reshape(-1)
 
     if mesh is not None:
