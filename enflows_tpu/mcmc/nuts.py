@@ -14,13 +14,30 @@ of recursion. Scheme (derived for this implementation): leaves of the
 growing subtree are indexed n = 0, 1, ...; a complete binary sub-subtree of
 size 2^k closing at leaf n exists iff the low k bits of n are all ones, with
 left end m = n & ~(2^k - 1). Since popcount(m) = popcount(n) - k, storing
-each even leaf m's (velocity, momentum-prefix-sum) at stack slot popcount(m)
+each even leaf m's (momentum, momentum-prefix-sum) at stack slot popcount(m)
 makes every closing subtree's left-end data live at slots
 popcount(n)-tau .. popcount(n)-1 (tau = trailing ones of n) exactly when
 needed, and no intermediate write can clobber a slot before its read (any
 even m' in (m, n] has popcount(m') > popcount(m)). A sub-subtree [m..n] is
 turning when dot(v_m, rho) <= 0 or dot(v_n, rho) <= 0 with
 rho = S_n - S_{m-1} the summed momentum over the sub-subtree.
+
+Merge-boundary checks (Stan's extra conditions, stan-dev/stan
+base_nuts.hpp transition()): every merge of two half-trees [m..mid],
+[mid+1..n] additionally tests the two straddling combinations
+  dot(v_m,     rho_left  + p_{mid+1}) / dot(v_{mid+1}, ...)   and
+  dot(v_mid,   rho_right + p_mid)     / dot(v_n,       ...),
+which catch U-turns that the endpoints-only test misses on highly
+correlated targets (trajectories otherwise run past the turn, wasting
+gradient evaluations). Inside a growing subtree these need two extra
+facts at close time: the momentum at mid+1 — an even leaf, already in the
+checkpoint stack at slot popcount(m)+1, which a popcount argument shows is
+never clobbered before the read — and the momentum at mid, an odd leaf
+with exactly k-1 trailing ones, kept in a second O(max_depth) stack
+indexed by trailing-ones count (odd leaves n' strictly between mid and n
+have fewer trailing ones, so that slot too survives until the read). At
+the top-level trajectory merge the same two checks use the old
+trajectory's endpoints and the new subtree's first/last momenta directly.
 """
 from __future__ import annotations
 
@@ -51,9 +68,14 @@ def _trailing_ones(n):
 
 
 def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
-                divergence_threshold: float = 1000.0):
+                divergence_threshold: float = 1000.0,
+                extra_uturn_checks: bool = True):
     """Build a one-transition NUTS kernel:
-    (key, state, step_size, inv_mass_diag) -> (state, info)."""
+    (key, state, step_size, inv_mass_diag) -> (state, info).
+
+    ``extra_uturn_checks``: Stan's merge-boundary conditions (module
+    docstring). On by default; the False path exists for A/B benchmarking
+    (benchmarks/bench_mcmc.py records ESS-per-gradient for both)."""
     value_grad_fn = jax.value_and_grad(logdensity_fn)
 
     def make_helpers(inv_mass_diag):
@@ -76,18 +98,20 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
             """
             dim = q0.shape[0]
             dtype = q0.dtype
-            ckpt_v = jnp.zeros((max_depth + 1, dim), dtype)
+            ckpt_p = jnp.zeros((max_depth + 1, dim), dtype)
             ckpt_S = jnp.zeros((max_depth + 1, dim), dtype)
+            ckpt_podd = jnp.zeros((max_depth + 1, dim), dtype)
 
             def cond(carry):
                 n = carry[0]
-                turning, divergent = carry[13], carry[14]
+                turning, divergent = carry[14], carry[15]
                 return (n < num_leaves) & ~turning & ~divergent
 
             def body(carry):
                 (n, key, q, p, grad, prop_q, prop_logp, prop_grad, prop_h,
-                 log_w, rho, S, cv, turning, divergent, sum_prob) = carry
-                ckpt_v_, ckpt_S_ = cv
+                 log_w, rho, S, cv, p_first, turning, divergent,
+                 sum_prob) = carry
+                ckpt_p_, ckpt_S_, ckpt_podd_ = cv
 
                 q, p, logp, grad = leapfrog_step(q, p, grad, eps)
                 h = -logp + kinetic_energy(p, inv_mass_diag)
@@ -108,27 +132,48 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
                 prop_h = jnp.where(take, h, prop_h)
 
                 v = p * inv_mass_diag
+                p_first = jnp.where(n == 0, p, p_first)
 
                 # Store checkpoint at even leaves (slot popcount(n)); S is the
                 # momentum prefix sum *before* this leaf.
                 pc = _popcount(n)
                 is_even = (n % 2) == 0
                 slot = jnp.where(is_even, pc, 0)
-                ckpt_v_ = lax.cond(
-                    is_even, lambda a: a.at[slot].set(v), lambda a: a, ckpt_v_)
+                ckpt_p_ = lax.cond(
+                    is_even, lambda a: a.at[slot].set(p), lambda a: a, ckpt_p_)
                 ckpt_S_ = lax.cond(
                     is_even, lambda a: a.at[slot].set(S), lambda a: a, ckpt_S_)
 
                 S_new = S + p
 
                 # Closing sub-subtrees at odd leaves: slots pc-tau .. pc-1.
+                # For each closing [m..n] of size 2^(j+1) also run Stan's two
+                # merge-boundary checks across the half boundary
+                # [m..mid] | [mid+1..n] (see module docstring). For j == 0
+                # all three coincide, so extras are gated on j >= 1.
                 tau = _trailing_ones(n)
 
                 def check(j, turn):
                     idx = pc - 1 - j
-                    rho_sub = S_new - ckpt_S_[idx]
-                    v_m = ckpt_v_[idx]
-                    t = is_turning(v_m, v, rho_sub)
+                    p_m = ckpt_p_[idx]
+                    S_m = ckpt_S_[idx]
+                    rho_sub = S_new - S_m
+                    t = is_turning(p_m * inv_mass_diag, v, rho_sub)
+
+                    if extra_uturn_checks:
+                        extra = j >= 1
+                        safe = jnp.minimum(idx + 1, max_depth)
+                        p_b = ckpt_p_[safe]      # momentum at mid+1 (even)
+                        S_mid = ckpt_S_[safe]    # prefix through mid
+                        p_mid = ckpt_podd_[jnp.minimum(jnp.maximum(j, 1),
+                                                       max_depth)]
+                        rho_bck = S_mid - S_m
+                        rho_fwd = S_new - S_mid
+                        t_a = is_turning(p_m * inv_mass_diag,
+                                         p_b * inv_mass_diag, rho_bck + p_b)
+                        t_b = is_turning(p_mid * inv_mass_diag, v,
+                                         rho_fwd + p_mid)
+                        t = t | (extra & (t_a | t_b))
                     return turn | ((j < tau) & t)
 
                 turning_new = lax.cond(
@@ -136,8 +181,16 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
                     lambda: lax.fori_loop(0, max_depth, check,
                                           jnp.asarray(False)))
 
+                # Record this odd leaf's momentum for future boundary checks
+                # (slot = its trailing-ones count; written after the checks).
+                ckpt_podd_ = lax.cond(
+                    is_even, lambda a: a,
+                    lambda a: a.at[jnp.minimum(tau, max_depth)].set(p),
+                    ckpt_podd_)
+
                 return (n + 1, key, q, p, grad, prop_q, prop_logp, prop_grad,
-                        prop_h, log_w_new, rho + p, S_new, (ckpt_v_, ckpt_S_),
+                        prop_h, log_w_new, rho + p, S_new,
+                        (ckpt_p_, ckpt_S_, ckpt_podd_), p_first,
                         turning | turning_new, divergent | divergent_new,
                         sum_prob)
 
@@ -145,16 +198,17 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
             init = (jnp.asarray(0, jnp.int32), key, q0, p0, grad0,
                     q0, jnp.zeros((), dtype), grad0, energy0,
                     neg_inf, jnp.zeros_like(p0), jnp.zeros_like(p0),
-                    (ckpt_v, ckpt_S),
+                    (ckpt_p, ckpt_S, ckpt_podd), p0,
                     jnp.asarray(False), jnp.asarray(False),
                     jnp.zeros((), dtype))
             out = lax.while_loop(cond, body, init)
             (n, _, q, p, grad, prop_q, prop_logp, prop_grad, prop_h,
-             log_w, rho, _, _, turning, divergent, sum_prob) = out
+             log_w, rho, _, _, p_first, turning, divergent, sum_prob) = out
             return dict(n=n, q_end=q, p_end=p, grad_end=grad,
                         prop_q=prop_q, prop_logp=prop_logp, prop_grad=prop_grad,
-                        prop_h=prop_h, log_w=log_w, rho=rho, turning=turning,
-                        divergent=divergent, sum_prob=sum_prob)
+                        prop_h=prop_h, log_w=log_w, rho=rho, p_first=p_first,
+                        turning=turning, divergent=divergent,
+                        sum_prob=sum_prob)
 
         return leapfrog_step, is_turning, build_subtree
 
@@ -220,6 +274,24 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
             v_left = p_left * inv_mass_diag
             v_right = p_right * inv_mass_diag
             turning_total = is_turning(v_left, v_right, rho)
+
+            if extra_uturn_checks:
+                # Stan's merge-boundary checks between the old trajectory
+                # and the new subtree (trajectory order: left half = old
+                # traj when going right, = new subtree when going left).
+                # p_first is the momentum at the subtree leaf adjacent to
+                # the old endpoint.
+                p_lh_l = jnp.where(go_right, c["p_left"], sub["p_end"])
+                p_rh_l = jnp.where(go_right, sub["p_first"], c["p_left"])
+                rho_lh = jnp.where(go_right, c["rho"], sub["rho"])
+                t_a = is_turning(p_lh_l * inv_mass_diag,
+                                 p_rh_l * inv_mass_diag, rho_lh + p_rh_l)
+                p_lh_r = jnp.where(go_right, c["p_right"], sub["p_first"])
+                p_rh_r = jnp.where(go_right, sub["p_end"], c["p_right"])
+                rho_rh = jnp.where(go_right, sub["rho"], c["rho"])
+                t_b = is_turning(p_lh_r * inv_mass_diag,
+                                 p_rh_r * inv_mass_diag, rho_rh + p_lh_r)
+                turning_total = turning_total | t_a | t_b
 
             return dict(
                 key=key,

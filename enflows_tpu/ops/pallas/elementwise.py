@@ -68,10 +68,24 @@ ELEMENTWISE_KINDS = (ScaleShift, CenterStretch, CenterContract, Johnson,
 FUSIBLE_KINDS = ELEMENTWISE_KINDS + (Householder,)
 
 
+def event_pad(dim: int) -> int:
+    """Lane stride per event in the packed layout: the smallest divisor of
+    128 that is >= dim. d | 128 -> d itself (fully dense rows); other d <=
+    128 -> the next power-of-two divisor (d=50 -> 64 lanes, 78% lane
+    utilization; d=100 -> 128, 78%), with pad lanes masked out of the ladj
+    reduction and the loss. Raises for d > 128 (not packable in one row)."""
+    for cand in (1, 2, 4, 8, 16, 32, 64, 128):
+        if cand >= dim:
+            return cand
+    raise ValueError(f"event dim {dim} > 128: not packable in one lane row")
+
+
 def is_fusible_chain(chain: Bijector, dim: int, dtype=jnp.float32) -> bool:
-    """Fused path: elementwise stages + Householder, d | 128, f32/bf16
-    (Mosaic has no f64 lowering — f64 falls back to the jnp path)."""
-    if 128 % dim != 0:
+    """Fused path: elementwise stages + Householder, d <= 128 (d | 128 runs
+    dense; other d pad each event to the next divisor of 128 — see
+    ``event_pad``), f32/bf16 (Mosaic has no f64 lowering — f64 falls back
+    to the jnp path)."""
+    if dim > 128:
         return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
                                 jnp.dtype(jnp.bfloat16)):
@@ -176,13 +190,19 @@ def _stage_params(stage) -> tuple:
     return (stage.gamma, stage.delta, stage.xi, stage.lam)
 
 
-def _pattern_rows(params: Sequence[jax.Array], dim: int, dtype):
+def _pattern_rows(params: Sequence[jax.Array], dim: int, dtype,
+                  dp: int | None = None):
     """Per-dim params (d,) or scalars -> (1, 128) lane-pattern rows.
 
     Pure jnp gathers, so this is differentiable: grads w.r.t. a pattern row
-    scatter-add back onto the original (d,) parameter.
+    scatter-add back onto the original (d,) parameter. With ``dp > dim``
+    (padded events) the pad lanes repeat param[dim-1] — any in-range value
+    keeps the arithmetic finite there; their cotangents are exactly zero
+    (pad lanes are masked out of the ladj reduction and the y/loss
+    cotangents), so nothing spurious scatters back.
     """
-    idx = np.arange(128) % dim
+    dp = dim if dp is None else dp
+    idx = np.minimum(np.arange(128) % dp, dim - 1)
     rows = []
     for p in params:
         p = jnp.asarray(p, dtype)
@@ -192,19 +212,27 @@ def _pattern_rows(params: Sequence[jax.Array], dim: int, dtype):
     return rows
 
 
-def _householder_blockdiag(stage: Householder, dim: int, dtype):
+def _householder_blockdiag(stage: Householder, dim: int, dtype,
+                           dp: int | None = None):
     """(128, 128) block-diagonal right-multiply matrix: per lane group of
-    d lanes, y_group = x_group @ Q^T (Q = product of reflections)."""
+    dp lanes, y_group[:dim] = x_group[:dim] @ Q^T (Q = product of
+    reflections); pad lanes (dim <= lane%dp < dp) pass through as identity
+    so their garbage stays finite and in-lane."""
+    dp = dim if dp is None else dp
     V = stage.V
     if V.ndim == 1:
         V = V[None, :]
     Q = householder_matrix(V, dtype=jnp.float32)     # (d, d)
-    spd = 128 // dim
-    groups = (np.arange(128) // dim)
-    mask = jnp.asarray(groups[:, None] == groups[None, :], jnp.float32)
-    lane = np.arange(128) % dim
-    QT_big = Q.T[np.ix_(lane, lane)]                 # (128,128) tiled Q^T
-    return (QT_big * mask).astype(dtype)
+    groups = (np.arange(128) // dp)
+    same_group = groups[:, None] == groups[None, :]
+    lane = np.arange(128) % dp
+    valid = lane < dim
+    lane_c = np.minimum(lane, dim - 1)
+    QT_big = Q.T[np.ix_(lane_c, lane_c)]             # (128,128) tiled Q^T
+    mask = jnp.asarray(same_group & valid[:, None] & valid[None, :],
+                       jnp.float32)
+    eye_pad = jnp.asarray(np.diag((~valid).astype(np.float32)))
+    return (QT_big * mask + eye_pad).astype(dtype)
 
 
 def _build_kernel(stage_types, nparams_per_stage, dim):
