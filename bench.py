@@ -93,6 +93,33 @@ def main():
           f"{dt_gp*1e3:.3f} ms ({batch/dt_gp/1e6:.0f}M samples/s)",
           file=sys.stderr)
 
+    # Second reported config: d=50 (d !| 128 -> padded packed layout at 64
+    # lanes/event; the BASELINE 50D flow-preconditioned NUTS config).
+    from enflows_tpu.ops.pallas.elementwise import pad_packed
+    dim50 = 50
+    batch50 = 1 << 17        # 128K samples (BASELINE config size)
+    flow50 = _flagship_flow(dim50)
+    x50 = jax.random.normal(jax.random.PRNGKey(1), (batch50, dim50),
+                            jnp.float32)
+    x50_pad = jax.jit(lambda v: pad_packed(v.reshape(-1), dim50))(x50)
+    jax.block_until_ready(x50_pad)
+
+    @jax.jit
+    def fwd50_jnp(x):
+        return flow50.forward_and_ladj(x)
+
+    @jax.jit
+    def fwd50_packed(x_flat):
+        return fused_forward_and_ladj_packed(flow50, x_flat, dim50,
+                                             padded=True)
+
+    dt50_jnp = measure(fwd50_jnp, x50)
+    dt50 = measure(fwd50_packed, x50_pad)
+    print(f"[bench] d=50 fwd+logdet: jnp {dt50_jnp*1e3:.3f} ms "
+          f"({batch50/dt50_jnp/1e6:.0f}M evals/s) | padded-packed kernel "
+          f"{dt50*1e3:.3f} ms ({batch50/dt50/1e6:.0f}M evals/s, "
+          f"{dt50_jnp/dt50:.2f}x vs jnp)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "flow_fwd_logdet_evals_per_s_per_chip",
         "value": round(evals_per_s),

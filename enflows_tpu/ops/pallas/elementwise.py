@@ -23,7 +23,14 @@ milliseconds of shuffle — measured 3.7 ms for a 1M x 2 batch, versus
 **packed** batch: the row-major flattened (n*d,) vector retiled as
 (rows, 128), full lane utilization, no relayout anywhere. Keep batches
 packed end-to-end (host numpy row-major -> flat device view is free) and
-unpack only at API boundaries. Requires d | 128.
+unpack only at API boundaries.
+
+d | 128 runs fully dense. Other d <= 128 use the PADDED packed layout:
+each event occupies ``event_pad(d)`` lanes (the next divisor of 128 —
+d=50 -> 64 lanes at 78% utilization, d=100 -> 128 at 78%), pad lanes are
+masked out of the ladj segment-matmul and the loss, and the pad/unpad
+relayout is a differentiable jnp pad/slice that hot loops hoist outside
+their scan (``pad_packed`` / ``padded=True``).
 
 Per-dim parameters become (1, 128) lane-pattern rows (param[c % d]); the
 per-sample ladj segment-reduction over runs of d lanes is one
@@ -266,19 +273,57 @@ def _build_kernel(stage_types, nparams_per_stage, dim):
     return kernel
 
 
-def _chain_static_and_params(chain: Bijector, dim: int, dtype):
+def _chain_static_and_params(chain: Bijector, dim: int, dtype,
+                             dp: int | None = None):
+    dp = dim if dp is None else dp
     stages = chain.stages if isinstance(chain, Chain) else (chain,)
     stage_types, nparams, flat_params = [], [], []
     for s in stages:
         stage_types.append(type(s))
         if isinstance(s, Householder):
             nparams.append(1)
-            flat_params.append(_householder_blockdiag(s, dim, dtype))
+            flat_params.append(_householder_blockdiag(s, dim, dtype, dp))
         else:
             ps = _stage_params(s)
             nparams.append(len(ps))
-            flat_params.extend(_pattern_rows(ps, dim, dtype))
+            flat_params.extend(_pattern_rows(ps, dim, dtype, dp))
     return tuple(stage_types), tuple(nparams), tuple(flat_params)
+
+
+def _seg_matrix(dim: int, dp: int):
+    """(128, spd) 0/1 ladj segment-reduction matrix: lane l contributes to
+    sample slot l // dp iff it is a real event lane (l % dp < dim)."""
+    spd = 128 // dp
+    lanes = np.arange(128)
+    seg = ((lanes // dp)[:, None] == np.arange(spd)[None, :]) \
+        & ((lanes % dp) < dim)[:, None]
+    return jnp.asarray(seg, jnp.float32)
+
+
+def pad_packed(x_flat: jax.Array, dim: int) -> jax.Array:
+    """Tight packed (n*dim,) -> padded packed (n*dp,) (dp = event_pad(dim)).
+
+    Identity when d | 128. Differentiable (pad/slice), so pad-lane
+    cotangents vanish automatically through AD.
+    """
+    dp = event_pad(dim)
+    if dp == dim:
+        return x_flat
+    n = x_flat.shape[0] // dim
+    x = x_flat.reshape(n, dim)
+    # Pad with ones (not zeros): stage gradients can be singular at 0 and
+    # pad lanes still flow through every stage body.
+    return jnp.pad(x, ((0, 0), (0, dp - dim)),
+                   constant_values=1.0).reshape(-1)
+
+
+def unpad_packed(y_flat: jax.Array, dim: int) -> jax.Array:
+    """Inverse of pad_packed: (n*dp,) -> (n*dim,)."""
+    dp = event_pad(dim)
+    if dp == dim:
+        return y_flat
+    n = y_flat.shape[0] // dp
+    return y_flat.reshape(n, dp)[:, :dim].reshape(-1)
 
 
 # Rows (of 128 lanes) per grid step in the packed kernels, swept on v5e
@@ -293,12 +338,13 @@ _TILE_ROWS_BWD = 512
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _fused_packed_impl(static, x_flat, flat_params):
-    """x_flat: (n*d,) packed batch. Returns (y_flat, ladj (n,))."""
-    stage_types, nparams, dim, tile_m = (static + (_TILE_ROWS,))[:4]
+    """x_flat: (n*dp,) PADDED packed batch. Returns (y_flat (n*dp,),
+    ladj (n,)); dp = event lane stride (== dim when d | 128)."""
+    stage_types, nparams, dim, dp, tile_m = (static + (_TILE_ROWS,))[:5]
     dtype = x_flat.dtype
-    spd = 128 // dim
+    spd = 128 // dp
     total = x_flat.shape[0]
-    n = total // dim
+    n = total // dp
     rows = -(-total // 128)
     # Don't pad small batches up to a huge tile: shrink the tile to the
     # 8-sublane-aligned row count when the batch is smaller than one tile.
@@ -311,8 +357,7 @@ def _fused_packed_impl(static, x_flat, flat_params):
             if pad else x_flat)
     xt = flat.reshape(rows_padded, 128)
 
-    seg = (np.arange(128) // dim)[:, None] == np.arange(spd)[None, :]
-    seg = jnp.asarray(seg, jnp.float32)
+    seg = _seg_matrix(dim, dp)
 
     grid = (rows_padded // tile_m,)
     in_specs = [
@@ -349,10 +394,12 @@ def _fused_packed_impl(static, x_flat, flat_params):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_packed_op(dim, chain, x_flat):
+def _fused_packed_op(dimdp, chain, x_flat):
+    """dimdp = (dim, dp) static; x_flat is PADDED packed (n*dp,)."""
+    dim, dp = dimdp
     static_types, nparams, flat_params = _chain_static_and_params(
-        chain, dim, x_flat.dtype)
-    return _fused_packed_impl((static_types, nparams, dim), x_flat,
+        chain, dim, x_flat.dtype, dp)
+    return _fused_packed_impl((static_types, nparams, dim, dp), x_flat,
                               flat_params)
 
 
@@ -442,12 +489,15 @@ def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _fused_packed_bwd_impl(static, x_flat, flat_params, gy_flat, gladj):
-    """Pallas fused backward. Returns (gx_flat, tuple_of_pattern_grads)."""
-    stage_types, nparams, dim, tile_m = (static + (_TILE_ROWS_BWD,))[:4]
+    """Pallas fused backward. Returns (gx_flat, tuple_of_pattern_grads).
+    Padded packed layout: gy_flat must carry ZERO on pad lanes (guaranteed
+    when the pad/unpad wrappers are jnp pad/slice ops — AD zeroes them)."""
+    stage_types, nparams, dim, dp, tile_m = \
+        (static + (_TILE_ROWS_BWD,))[:5]
     dtype = x_flat.dtype
-    spd = 128 // dim
+    spd = 128 // dp
     total = x_flat.shape[0]
-    n = total // dim
+    n = total // dp
     rows = -(-total // 128)
     # Don't pad small batches up to a huge tile: shrink the tile to the
     # 8-sublane-aligned row count when the batch is smaller than one tile.
@@ -465,8 +515,7 @@ def _fused_packed_bwd_impl(static, x_flat, flat_params, gy_flat, gladj):
     gl = jnp.pad(gladj.astype(jnp.float32),
                  (0, rows_padded * spd - n)).reshape(rows_padded, spd)
 
-    segT = (np.arange(spd)[:, None] == (np.arange(128) // dim)[None, :])
-    segT = jnp.asarray(segT, jnp.float32)
+    segT = _seg_matrix(dim, dp).T
 
     in_specs = [
         pl.BlockSpec((tile_m, 128), lambda i: (i, 0),
@@ -532,8 +581,8 @@ def _fused_packed_bwd_impl(static, x_flat, flat_params, gy_flat, gladj):
 _LOG_2PI = 1.8378770664093453
 
 
-def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, total,
-                             tile_m):
+def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, dp,
+                             total, tile_m):
     """ONE tile pass = whitening loss partials + all parameter gradients.
 
     The negll objective's output cotangents are analytic (cy = y/n,
@@ -554,7 +603,9 @@ def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, total,
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
         flat_idx = (i * tile_m + rows) * 128 + cols
-        emask = (flat_idx < total).astype(jnp.float32)
+        # Real elements only: inside the batch AND on a non-pad event lane.
+        emask = ((flat_idx < total)
+                 & (cols % dp < dim)).astype(jnp.float32)
 
         # Forward, storing stage inputs tile-resident.
         t = x_ref[:]
@@ -622,10 +673,11 @@ def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, total,
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _fused_negll_grad_impl(static, x_flat, flat_params):
-    stage_types, nparams, dim, tile_m = (static + (_TILE_ROWS_NEGLL,))[:4]
+    stage_types, nparams, dim, dp, tile_m = \
+        (static + (_TILE_ROWS_NEGLL,))[:5]
     dtype = x_flat.dtype
     total = x_flat.shape[0]
-    n = total // dim
+    n = total // dp
     rows = -(-total // 128)
     # Don't pad small batches up to a huge tile: shrink the tile to the
     # 8-sublane-aligned row count when the batch is smaller than one tile.
@@ -655,8 +707,8 @@ def _fused_negll_grad_impl(static, x_flat, flat_params):
                          lambda i: (i,) + (0,) * len(p.shape),
                          memory_space=pltpu.VMEM))
 
-    kernel = _build_negll_grad_kernel(stage_types, nparams, dim, total,
-                                      tile_m)
+    kernel = _build_negll_grad_kernel(stage_types, nparams, dim, dp,
+                                      total, tile_m)
     out = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -673,43 +725,51 @@ def _fused_negll_grad_impl(static, x_flat, flat_params):
 
 
 def fused_negll_value_and_grad(chain: Bijector, x_flat: jax.Array,
-                               dim: int):
+                               dim: int, *, padded: bool = False):
     """(negll, d negll/d chain) in a single fused kernel pass.
 
     The packed fast path for the whitening train step; falls back to
     value_and_grad over the packed loss when the chain is unsupported.
+    ``padded=True`` declares x_flat already in the padded packed layout
+    (n * event_pad(dim),) — pre-pad once outside the train scan via
+    ``pad_packed`` so the per-step relayout cost vanishes for d !| 128.
     """
     if not is_fusible_chain(chain, dim, x_flat.dtype) or \
             jax.default_backend() not in ("tpu", "cpu"):
+        assert not padded, "fallback path expects tight packing"
         from ...train.whitening import mvnormal_negll_packed
         return jax.value_and_grad(
             lambda c: mvnormal_negll_packed(c, x_flat, dim))(chain)
+    dp = event_pad(dim)
+    if not padded:
+        x_flat = pad_packed(x_flat, dim)
     static_types, nparams, flat_params = _chain_static_and_params(
-        chain, dim, x_flat.dtype)
+        chain, dim, x_flat.dtype, dp)
     with jax.named_scope("enflows.pallas.fused_negll_grad"):
         negll, pattern_grads = _fused_negll_grad_impl(
-            (static_types, nparams, dim), x_flat, flat_params)
+            (static_types, nparams, dim, dp), x_flat, flat_params)
     _, vjp_params = jax.vjp(
-        lambda c: _chain_static_and_params(c, dim, x_flat.dtype)[2], chain)
+        lambda c: _chain_static_and_params(c, dim, x_flat.dtype, dp)[2],
+        chain)
     gc, = vjp_params(tuple(
         pg.astype(fp.dtype)
         for pg, fp in zip(pattern_grads, flat_params)))
     return negll, gc
 
 
-def _packed_jnp_forward(stage_types, nparams, dim, x_flat, flat_params):
-    """Pure-jnp mirror of the kernel body on the PACKED layout.
+def _packed_jnp_forward(stage_types, nparams, dim, dp, x_flat, flat_params):
+    """Pure-jnp mirror of the kernel body on the (padded) PACKED layout.
 
     Exists for the backward pass: differentiating this gives XLA a fully
     lane-utilized (rows, 128) computation — ~4x faster than AD through the
     (n, d) standard-layout chain for small d, with identical math.
     """
     total = x_flat.shape[0]
-    n = total // dim
-    spd = 128 // dim
+    n = total // dp
+    spd = 128 // dp
     rows = -(-total // 128)
     pad = rows * 128 - total
-    flat = jnp.pad(x_flat, (0, pad)) if pad else x_flat
+    flat = jnp.pad(x_flat, (0, pad), constant_values=1.0) if pad else x_flat
     t = flat.reshape(rows, 128)
     acc = None
     i = 0
@@ -728,12 +788,13 @@ def _packed_jnp_forward(stage_types, nparams, dim, x_flat, flat_params):
     if acc is None:
         ladj = jnp.zeros((n,), x_flat.dtype)
     else:
-        ladj = acc.reshape(rows * spd, dim).sum(-1)[:n].astype(x_flat.dtype)
+        ladj = acc.reshape(rows * spd, dp)[:, :dim] \
+            .sum(-1)[:n].astype(x_flat.dtype)
     return y_flat, ladj
 
 
-def _fused_packed_fwd(dim, chain, x_flat):
-    return _fused_packed_op(dim, chain, x_flat), (chain, x_flat)
+def _fused_packed_fwd(dimdp, chain, x_flat):
+    return _fused_packed_op(dimdp, chain, x_flat), (chain, x_flat)
 
 
 # When True (TPU default), the backward also runs as a fused Pallas kernel;
@@ -742,21 +803,23 @@ def _fused_packed_fwd(dim, chain, x_flat):
 _PALLAS_BACKWARD = True
 
 
-def _fused_packed_bwd(dim, res, g):
+def _fused_packed_bwd(dimdp, res, g):
+    dim, dp = dimdp
     chain, x_flat = res
     gy_flat, gladj = g
 
     if _PALLAS_BACKWARD == "force" or (
             _PALLAS_BACKWARD and jax.default_backend() == "tpu"):
         static_types, nparams, flat_params = _chain_static_and_params(
-            chain, dim, x_flat.dtype)
+            chain, dim, x_flat.dtype, dp)
         gx, pattern_grads = _fused_packed_bwd_impl(
-            (static_types, nparams, dim), x_flat, flat_params,
+            (static_types, nparams, dim, dp), x_flat, flat_params,
             gy_flat, gladj)
         # Pull pattern-row/blockdiag grads back onto the chain leaves by
         # vjp-ing the (differentiable) pattern construction.
         _, vjp_params = jax.vjp(
-            lambda c: _chain_static_and_params(c, dim, x_flat.dtype)[2],
+            lambda c: _chain_static_and_params(c, dim, x_flat.dtype,
+                                               dp)[2],
             chain)
         gc, = vjp_params(tuple(
             pg.astype(fp.dtype)
@@ -765,8 +828,8 @@ def _fused_packed_bwd(dim, res, g):
 
     def ref(c, xf):
         stage_types, nparams, flat_params = _chain_static_and_params(
-            c, dim, xf.dtype)
-        return _packed_jnp_forward(stage_types, nparams, dim, xf,
+            c, dim, xf.dtype, dp)
+        return _packed_jnp_forward(stage_types, nparams, dim, dp, xf,
                                    flat_params)
 
     _, vjp = jax.vjp(ref, chain, x_flat)
@@ -778,14 +841,23 @@ _fused_packed_op.defvjp(_fused_packed_fwd, _fused_packed_bwd)
 
 
 def fused_forward_and_ladj_packed(chain: Bijector, x_flat: jax.Array,
-                                  dim: int):
+                                  dim: int, *, padded: bool = False):
     """Fused (y_flat, ladj) on a PACKED batch: x_flat is the row-major
-    flattened (n, dim) batch. The fast path — no layout shuffles."""
+    flattened (n, dim) batch. The fast path — no layout shuffles when
+    d | 128; other d <= 128 pad each event to ``event_pad(dim)`` lanes
+    (pass ``padded=True`` with pre-padded input to hoist that cost out of
+    hot loops; output y is then returned in the padded layout too)."""
     if not is_fusible_chain(chain, dim, x_flat.dtype):
+        assert not padded
         y, ladj = chain.forward_and_ladj(x_flat.reshape(-1, dim))
         return y.reshape(-1), ladj
+    dp = event_pad(dim)
     with jax.named_scope("enflows.pallas.fused_fwd_ladj_packed"):
-        return _fused_packed_op(dim, chain, x_flat)
+        if padded or dp == dim:
+            return _fused_packed_op((dim, dp), chain, x_flat)
+        y_pad, ladj = _fused_packed_op((dim, dp), chain,
+                                       pad_packed(x_flat, dim))
+        return unpad_packed(y_pad, dim), ladj
 
 
 def _rowwise_stage_inputs(chain: Bijector, dim: int, dtype):
@@ -924,9 +996,16 @@ def fused_forward_and_ladj(chain: Bijector, x: jax.Array,
         return chain.forward_and_ladj(x)
     n, dim = x.shape
     if is_fusible_chain(chain, dim, x.dtype):
+        dp = event_pad(dim)
         with jax.named_scope("enflows.pallas.fused_fwd_ladj_packed"):
-            y_flat, ladj = _fused_packed_op(dim, chain, x.reshape(-1))
-        return y_flat.reshape(n, dim), ladj
+            if dp == dim:
+                y_flat, ladj = _fused_packed_op((dim, dp), chain,
+                                                x.reshape(-1))
+                return y_flat.reshape(n, dim), ladj
+            x_pad = jnp.pad(x, ((0, 0), (0, dp - dim)),
+                            constant_values=1.0).reshape(-1)
+            y_pad, ladj = _fused_packed_op((dim, dp), chain, x_pad)
+            return y_pad.reshape(n, dp)[:, :dim], ladj
     if allow_rowwise and is_rowwise_fusible(chain, dim, x.dtype):
         with jax.named_scope("enflows.pallas.fused_fwd_ladj_rowwise"):
             return _fused_rowwise_op(dim, chain, x)

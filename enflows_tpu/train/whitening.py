@@ -138,14 +138,22 @@ def optimize_whitening(
     if use_fused:
         # Packed hot loop: batches become flat rows and loss+grads come
         # from the single-pass fused kernel (ops.pallas.elementwise.
-        # fused_negll_value_and_grad) — one tile sweep per step.
-        from ..ops.pallas.elementwise import fused_negll_value_and_grad
+        # fused_negll_value_and_grad) — one tile sweep per step. For
+        # d !| 128 the events are padded to event_pad(dim) lanes ONCE
+        # here, outside the scan, so the per-step relayout cost vanishes.
+        from ..ops.pallas.elementwise import (event_pad,
+                                              fused_negll_value_and_grad)
 
-        batches = batches.reshape(nbatches, batch_size * dim)
+        dp = event_pad(dim)
+        if dp != dim:
+            batches = jnp.pad(batches, ((0, 0), (0, 0), (0, dp - dim)),
+                              constant_values=1.0)
+        batches = batches.reshape(nbatches, batch_size * dp)
 
         def step(carry, X):
             flow, opt_state = carry
-            negll, grads = fused_negll_value_and_grad(flow, X, dim)
+            negll, grads = fused_negll_value_and_grad(flow, X, dim,
+                                                      padded=True)
             updates, opt_state = optimizer.update(grads, opt_state, flow)
             flow = optax.apply_updates(flow, updates)
             flow = flow.canonicalize()

@@ -319,3 +319,20 @@ def test_trace_shows_named_regions(tmp_path):
             blobs.append(raw)
     assert any(b"enflows" in b for b in blobs), \
         "no enflows named scope found in captured trace"
+
+
+def test_generated_api_docs(tmp_path):
+    """docs/gen_api.py (Documenter-autodocs equivalent) renders every
+    listed module with signatures and docstrings."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "docs"))
+    import gen_api
+    written = gen_api.main(str(tmp_path / "api"))
+    assert len(written) == len(gen_api.MODULES) + 1  # + index
+    idx = (tmp_path / "api" / "index.md").read_text()
+    assert "enflows_tpu.smc.smc" in idx
+    smc = (tmp_path / "api" / "enflows_tpu_smc_smc.md").read_text()
+    assert "smc_sample" in smc and "Tempered Sequential Monte Carlo" in smc
+    nuts = (tmp_path / "api" / "enflows_tpu_mcmc_nuts.md").read_text()
+    assert "nuts_kernel" in nuts
