@@ -1,0 +1,116 @@
+"""Fused leapfrog+logprob kernel vs the jnp HMC path (interpret on CPU).
+
+The kernel integrates whole trajectories tile-resident; the oracle is a
+plain jnp leapfrog over the identical flow-preconditioned log density
+(mcmc.logdensity.flow_preconditioned semantics)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import enflows_tpu as ef
+from enflows_tpu.ops.pallas.leapfrog import (fused_leapfrog,
+                                             fused_flow_hmc_step)
+
+F = jnp.float32
+_LOG_2PI = 1.8378770664093453
+
+
+def _chain(d):
+    key = jax.random.PRNGKey(0)
+    return ef.compose(
+        ef.Johnson(gamma=jnp.full(d, 0.2, F), delta=jnp.full(d, 5.0, F),
+                   xi=jnp.zeros(d, F), lam=jnp.full(d, 5.0, F)),
+        ef.Householder(
+            V=jax.random.normal(key, (3, d), F)).canonicalize()
+        if d > 1 else ef.ScaleShift(a=jnp.full(d, 1.1, F),
+                                    b=jnp.zeros(d, F)),
+        ef.invert(ef.CenterStretch(a=jnp.full(d, 0.5, F),
+                                   b=jnp.full(d, 1.5, F),
+                                   c=jnp.zeros(d, F))),
+    )
+
+
+def _logp(chain):
+    def f(q):
+        y, ladj = chain.forward_and_ladj(q)
+        return jnp.sum(-(y * y + _LOG_2PI) * 0.5, -1) + ladj
+    return f
+
+
+def _jnp_leapfrog(logp, q, p, eps, L, im=None):
+    im = jnp.ones(q.shape[-1], F) if im is None else im
+    grad = jax.vmap(jax.grad(lambda v: logp(v[None, :])[0]))
+
+    g = grad(q)
+    for _ in range(L):
+        p = p + 0.5 * eps * g
+        q = q + eps * p * im
+        g = grad(q)
+        p = p + 0.5 * eps * g
+    return q, p
+
+
+@pytest.mark.parametrize("d", [2, 5, 50])
+def test_fused_leapfrog_matches_jnp(d):
+    chain = _chain(d)
+    logp = _logp(chain)
+    key = jax.random.PRNGKey(1)
+    n, L, eps = 37, 5, 0.05
+    q0 = 0.5 * jax.random.normal(key, (n, d), F)
+    p0 = jax.random.normal(jax.random.fold_in(key, 1), (n, d), F)
+
+    qf, pf, lp0, lpL = fused_leapfrog(chain, q0, p0, eps, L)
+    qr, pr = _jnp_leapfrog(logp, q0, p0, eps, L)
+
+    np.testing.assert_allclose(np.asarray(qf), np.asarray(qr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(pr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lp0), np.asarray(logp(q0)),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lpL), np.asarray(logp(qr)),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_leapfrog_diag_mass():
+    d = 4
+    chain = _chain(d)
+    logp = _logp(chain)
+    im = jnp.asarray([0.5, 1.0, 2.0, 4.0], F)
+    key = jax.random.PRNGKey(2)
+    q0 = 0.3 * jax.random.normal(key, (16, d), F)
+    p0 = jax.random.normal(jax.random.fold_in(key, 1), (16, d), F)
+    qf, pf, _, _ = fused_leapfrog(chain, q0, p0, 0.08, 4, im)
+    qr, pr = _jnp_leapfrog(logp, q0, p0, 0.08, 4, im)
+    np.testing.assert_allclose(np.asarray(qf), np.asarray(qr),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pf), np.asarray(pr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_flow_hmc_samples_correct_distribution():
+    """Running the fused HMC transition repeatedly in the whitened space
+    must sample N(0, I) there (the preconditioned target), i.e. pushing
+    draws through the chain gives the flow's data-space distribution."""
+    d = 2
+    chain = _chain(d)
+    n, steps = 512, 60
+    key = jax.random.PRNGKey(3)
+    q = 0.1 * jax.random.normal(key, (n, d), F)
+
+    @jax.jit
+    def sweep(key, q):
+        def body(q, k):
+            qn, _, acc, _ = fused_flow_hmc_step(chain, k, q, 0.5, 8)
+            return qn, jnp.mean(acc)
+        return jax.lax.scan(body, q, jax.random.split(key, steps))
+
+    q, accs = sweep(jax.random.fold_in(key, 1), q)
+    acc = float(jnp.mean(accs[steps // 2:]))
+    assert 0.6 < acc <= 1.0, acc
+    # The stationary law of q pushes forward through the chain to N(0, I)
+    # (p(q) = N(f(q)) |J_f|), so the moment gate applies to f(q).
+    y = np.asarray(chain.forward(q))
+    assert np.abs(y.mean(0)).max() < 0.2, y.mean(0)
+    assert np.abs(y.std(0) - 1.0).max() < 0.2, y.std(0)
