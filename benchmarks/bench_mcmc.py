@@ -148,6 +148,62 @@ def bench_leapfrog(num_chains=8192, dim=50, num_steps=64, iters=20):
     return steps_per_s
 
 
+def bench_fused_leapfrog(num_chains=8192, dim=50, num_steps=64, iters=20):
+    """Fused leapfrog+logprob Pallas kernel vs the jnp scan path on the
+    SAME fusible-chain log density (flow-preconditioned structure) —
+    SURVEY §7 M5 / the round-1 roofline review's optimization candidate."""
+    from enflows_tpu.ops.pallas.leapfrog import fused_leapfrog
+    import time as _t
+
+    v = lambda val: jnp.full((dim,), val, jnp.float32)
+    chain = ef.compose(
+        ef.Johnson(gamma=v(0.0), delta=v(5.0), xi=v(0.0), lam=v(5.0)),
+        ef.invert(ef.CenterStretch(a=v(0.0), b=v(1.0), c=v(0.0))),
+        ef.Householder(V=jax.random.normal(jax.random.PRNGKey(0),
+                                           (4, dim))).canonicalize(),
+    )
+    _LOG_2PI = 1.8378770664093453
+
+    def logp(q):
+        y, ladj = chain.forward_and_ladj(q)
+        return jnp.sum(-(y * y + _LOG_2PI) * 0.5, -1) + ladj
+
+    vg = jax.value_and_grad(lambda q1: logp(q1[None, :])[0])
+    q = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (num_chains, dim))
+    p = jax.random.normal(jax.random.PRNGKey(2), (num_chains, dim))
+    g = jax.vmap(lambda qq: vg(qq)[1])(q)
+    inv_mass = jnp.ones(dim)
+
+    @jax.jit
+    def run_jnp(q, p, g):
+        return jax.vmap(
+            lambda q, p, g: leapfrog(vg, q, p, g, 0.05, inv_mass,
+                                     num_steps))(q, p, g)
+
+    @jax.jit
+    def run_fused(q, p):
+        return fused_leapfrog(chain, q, p, 0.05, num_steps)
+
+    def timeit(f, *a):
+        out = f(*a)
+        jax.block_until_ready(out)
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            out = f(*a)
+        jax.block_until_ready(out)
+        return (_t.perf_counter() - t0) / iters
+
+    dt_jnp = timeit(run_jnp, q, p, g)
+    dt_fused = timeit(run_fused, q, p)
+    sps_jnp = num_chains * num_steps / dt_jnp
+    sps_fused = num_chains * num_steps / dt_fused
+    print(f"[fused-leapfrog] {num_chains} x {num_steps} x {dim}D flow "
+          f"chain: jnp {dt_jnp*1e3:.2f} ms ({sps_jnp/1e6:.1f}M steps/s) | "
+          f"fused {dt_fused*1e3:.2f} ms ({sps_fused/1e6:.1f}M steps/s, "
+          f"{dt_jnp/dt_fused:.2f}x)", file=sys.stderr)
+    return sps_fused, dt_jnp / dt_fused
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chains", type=int, default=128)
@@ -157,11 +213,14 @@ def main():
     ess_chees = bench_chees(args.chains)
     ess_pre = bench_preconditioned(args.chains)
     lf = bench_leapfrog()
+    lf_fused, fused_speedup = bench_fused_leapfrog()
     print(json.dumps({
         "nuts_raw_min_ess_per_s": round(ess_raw, 1),
         "chees_raw_min_ess_per_s": round(ess_chees, 1),
         "nuts_precond_min_ess_per_s": round(ess_pre, 1),
         "leapfrog_steps_per_s": round(lf),
+        "fused_flow_leapfrog_steps_per_s": round(lf_fused),
+        "fused_leapfrog_speedup_vs_jnp": round(fused_speedup, 2),
     }))
 
 

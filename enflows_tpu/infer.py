@@ -149,7 +149,11 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
     """Sample an unnormalized target density, end to end.
 
     ``logdensity_fn``: per-sample target, (dim,) -> scalar (any jittable
-    function). ``method``: 'nuts' | 'hmc' | 'chees' | 'smc'.
+    function). ``method``: 'nuts' | 'hmc' | 'chees' | 'smc'. (Targets
+    expressible exactly as a fusible whitening chain — warped-Gaussian
+    families — can instead use ``mcmc.fused_flow_hmc_sample``, the
+    fused-leapfrog Pallas path; it hardcodes the std-normal base, so it
+    does NOT apply to arbitrary ``logdensity_fn``.)
 
     Preconditioning: ``flow`` (a whitened->data bijector, e.g. from
     ``train.optimize_whitening`` inverted or ``train.optimize_elbo``) is

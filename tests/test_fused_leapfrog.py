@@ -114,3 +114,22 @@ def test_fused_flow_hmc_samples_correct_distribution():
     y = np.asarray(chain.forward(q))
     assert np.abs(y.mean(0)).max() < 0.2, y.mean(0)
     assert np.abs(y.std(0) - 1.0).max() < 0.2, y.std(0)
+
+
+def test_fused_flow_hmc_sample_full_sampler():
+    """The complete fused sampler (dual-averaging warmup + jittered
+    sampling) recovers the preconditioned target's pushforward."""
+    from enflows_tpu.mcmc import fused_flow_hmc_sample
+
+    d = 2
+    chain = _chain(d)
+    draws, q_final, stats = fused_flow_hmc_sample(
+        chain, jax.random.PRNGKey(7), dim=d, num_chains=64,
+        num_warmup=100, num_samples=150, num_steps=8)
+    assert draws.shape == (64, 150, d)
+    acc = float(np.asarray(stats.accept_prob).mean())
+    assert 0.6 < acc <= 1.0, acc
+    assert float(stats.step_size) > 0.01
+    y = np.asarray(chain.forward(draws[:, 50:, :].reshape(-1, d)))
+    assert np.abs(y.mean(0)).max() < 0.1, y.mean(0)
+    assert np.abs(y.std(0) - 1.0).max() < 0.1, y.std(0)
