@@ -31,6 +31,8 @@ def cmd_train(cfg):
     opt = {"adagrad": optax.adagrad, "adam": optax.adam,
            "sgd": optax.sgd}[cfg.train.optimizer](cfg.train.learning_rate)
     key = jax.random.PRNGKey(cfg.train.seed)
+    # Live per-step streaming out of the compiled scans (utils.metrics).
+    log = MetricsLogger(cfg.metrics_path) if cfg.metrics_path else None
 
     if cfg.train.objective == "whitening":
         # Synthetic demo target when no data source is configured: the
@@ -45,7 +47,7 @@ def cmd_train(cfg):
                                             jnp.dtype(cfg.flow.dtype)))
         res = optimize_whitening(X, flow, opt, nbatches=cfg.train.nbatches,
                                  nepochs=cfg.train.nepochs,
-                                 mesh=_mesh_from_cfg(cfg))
+                                 mesh=_mesh_from_cfg(cfg), metrics=log)
         hist = res.negll_history
     else:
         from .distributions import std_normal_logpdf_sum
@@ -53,12 +55,14 @@ def cmd_train(cfg):
                             dim=cfg.flow.dim,
                             batch_size=cfg.train.batch_size,
                             nsteps=cfg.train.nsteps,
-                            antithetic=cfg.train.antithetic, key=key)
+                            antithetic=cfg.train.antithetic, key=key,
+                            metrics=log)
         hist = res.nelbo_history
 
-    with MetricsLogger(cfg.metrics_path) as log:
-        for i in range(0, len(hist), max(1, len(hist) // 100)):
-            log.log(i, loss=float(hist[i]))
+    if log is not None:
+        jax.block_until_ready(hist)
+        jax.effects_barrier()
+        log.close()
     if cfg.checkpoint_dir:
         save_checkpoint(cfg.checkpoint_dir,
                         {"flow": res.result,
@@ -72,9 +76,11 @@ def cmd_sample(cfg):
     import numpy as np
     from .mcmc import sample, split_rhat_per_dim, ess_per_dim
     from .smc import smc_sample
+    from .utils import MetricsLogger
 
     d = cfg.sampler.num_chains
     dim = cfg.flow.dim
+    log = MetricsLogger(cfg.metrics_path) if cfg.metrics_path else None
 
     def logp(q):           # demo target: standard normal
         return -0.5 * jnp.sum(q * q)
@@ -84,7 +90,7 @@ def cmd_sample(cfg):
         parts, lw, logz, infos = smc_sample(
             logp, key, dim=dim, num_particles=cfg.sampler.num_particles,
             mutation_steps=cfg.sampler.mutation_steps,
-            ess_target=cfg.sampler.ess_target)
+            ess_target=cfg.sampler.ess_target, metrics=log)
         print(f"SMC: {len(infos)} temperatures, logZ={float(logz):.4f}")
     else:
         samples, _, stats = sample(
@@ -94,11 +100,15 @@ def cmd_sample(cfg):
             algorithm=cfg.sampler.algorithm,
             max_depth=cfg.sampler.max_depth,
             num_steps=cfg.sampler.num_steps,
-            target_accept=cfg.sampler.target_accept)
+            target_accept=cfg.sampler.target_accept,
+            metrics=log if cfg.sampler.algorithm != "chees" else None)
         print(f"{cfg.sampler.algorithm}: rhat="
               f"{split_rhat_per_dim(samples).max():.4f} "
               f"ess_min={ess_per_dim(samples).min():.0f} "
               f"accept={float(np.mean(np.asarray(stats.accept_prob))):.3f}")
+    if log is not None:
+        jax.effects_barrier()
+        log.close()
     return 0
 
 
