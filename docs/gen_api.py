@@ -36,6 +36,7 @@ MODULES = [
     "enflows_tpu.mcmc.chees",
     "enflows_tpu.mcmc.adaptation",
     "enflows_tpu.mcmc.sample",
+    "enflows_tpu.mcmc.fused_hmc",
     "enflows_tpu.mcmc.diagnostics",
     "enflows_tpu.smc.smc",
     "enflows_tpu.smc.flow_transport",
@@ -46,6 +47,7 @@ MODULES = [
     "enflows_tpu.parallel.smc_sharded",
     "enflows_tpu.parallel.event_sharded",
     "enflows_tpu.ops.pallas.elementwise",
+    "enflows_tpu.ops.pallas.leapfrog",
     "enflows_tpu.infer",
     "enflows_tpu.utils.pytree",
     "enflows_tpu.utils.checkpoint",
