@@ -17,6 +17,11 @@ import sys
 import time
 
 import jax
+
+from enflows_tpu.utils.compilation_cache import \
+    enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 import jax.numpy as jnp
 
 ANCHOR_EVALS_PER_S = 728.5e6

@@ -21,6 +21,11 @@ if "--cpu" in sys.argv:
     import jax
     jax.config.update("jax_platforms", "cpu")
 import jax
+
+from enflows_tpu.utils.compilation_cache import \
+    enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 import jax.numpy as jnp
 
 from enflows_tpu.mcmc.nuts import nuts_kernel

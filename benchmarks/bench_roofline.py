@@ -26,6 +26,11 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from enflows_tpu.utils.compilation_cache import \
+    enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl

@@ -19,6 +19,11 @@ import time
 
 import jax
 
+from enflows_tpu.utils.compilation_cache import \
+    enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 _want = os.environ.get("JAX_PLATFORMS", "")
 if "cpu" in _want and "axon" not in _want:
     jax.config.update("jax_platforms", "cpu")

@@ -12,6 +12,11 @@ import sys
 import time
 
 import jax
+
+from enflows_tpu.utils.compilation_cache import \
+    enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 

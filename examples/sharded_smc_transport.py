@@ -1,0 +1,69 @@
+"""Sharded tempered SMC with learned annealing transports (BASELINE #5).
+
+The composition the framework is built for: particles sharded over a
+device mesh, the Annealed-Flow-Transport objective fitted DATA-PARALLEL
+inside the shard_map temperature step (psum'd gradients, replicated flow
+parameters), AFT-corrected incremental weights, distributed systematic
+resampling, and HMC mutations with cross-shard step-size consensus.
+
+Runs anywhere: on a TPU pod slice the mesh spans real chips; on CPU it
+uses 8 simulated devices (set before jax import, as below). The target is
+a 2D bimodal mixture — tempering + transports cross the density gap and
+the mode balance comes out ~50/50 with a calibrated log Z.
+"""
+import os
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enflows_tpu.parallel import make_mesh, smc_sample_sharded
+from enflows_tpu.smc.flow_transport import default_template
+from enflows_tpu.utils import MetricsLogger
+
+
+def main():
+    dim = 2
+    sep = 3.0
+
+    def log_target(q):
+        # Equal-weight mixture of N(+sep e1, 0.3 I) and N(-sep e1, 0.3 I).
+        d1 = q - jnp.array([sep, 0.0])
+        d2 = q + jnp.array([sep, 0.0])
+        s2 = 0.3
+        la = -0.5 * jnp.sum(d1 * d1) / s2
+        lb = -0.5 * jnp.sum(d2 * d2) / s2
+        return jnp.logaddexp(la, lb) - jnp.log(2.0) \
+            - dim * 0.5 * jnp.log(2 * jnp.pi * s2)
+
+    mesh = make_mesh({"chains": len(jax.devices())})
+    print(f"mesh: {mesh.shape} on {jax.default_backend()}")
+
+    with MetricsLogger(None) as metrics:
+        particles, log_w, log_z, infos = smc_sample_sharded(
+            log_target, jax.random.PRNGKey(0), mesh, dim=dim,
+            num_particles=8192,
+            transport_template_fn=default_template,
+            transport_steps=50, metrics=metrics)
+        for rec in metrics.history:
+            print(f"  t={rec['step']:2d} beta={rec['beta']:.3f} "
+                  f"ess={rec['ess']:8.0f} accept={rec['accept']:.2f} "
+                  f"logZ={rec['log_z']:+.3f}")
+
+    w = np.asarray(jax.nn.softmax(log_w))
+    x = np.asarray(particles)
+    right = float(w[x[:, 0] > 0].sum())
+    print(f"temperatures: {len(infos)}")
+    print(f"log Z: {float(log_z):+.4f}  (target is normalized: truth 0)")
+    print(f"mode balance: {right:.3f} right / {1 - right:.3f} left "
+          f"(truth 0.5)")
+    assert abs(float(log_z)) < 0.1, "log Z off"
+    assert 0.4 < right < 0.6, "mode collapse"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()
