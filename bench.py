@@ -3,7 +3,14 @@
 Headline metric (BASELINE.md): flow fwd+logdet evaluations/s/chip on the
 flagship 5-stage flow (4 reference stages + a 4-reflection Householder
 rotation), f32, steady-state jit, via the packed fused Pallas kernel
-(ops/pallas/elementwise.py) on a 4M-sample batch.
+(ops/pallas/elementwise.py) on a 16M-sample batch.
+
+Timing methodology (round 2): the axon tunnel adds ~1 ms per dispatch and
+`block_until_ready` is unreliable for small launches, so each measurement
+chains K data-dependent iterations inside ONE jit (`lax.fori_loop`),
+fetches a scalar, and takes the slope between a small-K and a large-K run
+— pure device time, fixed RPC/fetch latency cancelled (see
+benchmarks/bench_roofline.py for the full argument).
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
 ratio against the round-1 anchor: the first working jnp/XLA measurement on
@@ -12,6 +19,7 @@ faster than the first working build.
 
 Extra context metrics go to stderr; stdout carries exactly one JSON line.
 """
+import functools
 import json
 import sys
 import time
@@ -23,32 +31,47 @@ from enflows_tpu.utils.compilation_cache import \
 
 enable_persistent_compilation_cache()
 import jax.numpy as jnp
+from jax import lax
 
 ANCHOR_EVALS_PER_S = 728.5e6
 
+K_LO, K_HI = 4, 24
 
-def measure(fn, *args, iters=30, warmup=5, repeats=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+
+def slope_measure(body, x, k_lo=K_LO, k_hi=K_HI, repeats=4):
+    """Per-iteration device time of ``body`` (carry -> carry, data-
+    dependent) via the two-K slope of a chained fori_loop; cancels the
+    fixed per-dispatch RPC + fetch latency of the tunnel."""
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain(v, k):
+        out = lax.fori_loop(0, k, lambda i, u: body(u), v)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return leaf.reshape(-1)[0]
+
+    float(chain(x, k_hi))
+    float(chain(x, k_lo))
+
+    def best(k):
+        b = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(chain(x, k))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    return (best(k_hi) - best(k_lo)) / (k_hi - k_lo)
 
 
 def main():
     from __graft_entry__ import _flagship_flow
     from enflows_tpu.ops.pallas.elementwise import (
-        fused_forward_and_ladj_packed, is_fusible_chain)
+        fused_forward_and_ladj_packed, fused_negll_value_and_grad,
+        is_fusible_chain, pad_packed)
     from enflows_tpu.train import mvnormal_negll
 
     dim = 2
-    batch = 1 << 24          # 16M samples/eval (amortizes ~1.7ms fixed dispatch overhead)
+    batch = 1 << 24          # 16M samples/eval
     flow = _flagship_flow(dim)
     x_flat = jax.random.normal(jax.random.PRNGKey(0), (batch * dim,),
                                jnp.float32)
@@ -56,20 +79,15 @@ def main():
 
     fused_ok = is_fusible_chain(flow, dim, jnp.float32)
 
-    @jax.jit
-    def fwd_packed(x_flat):
-        return fused_forward_and_ladj_packed(flow, x_flat, dim)
-
-    @jax.jit
-    def fwd_jnp(x):
-        return flow.forward_and_ladj(x)
-
-    dt_jnp = measure(fwd_jnp, x)
+    dt_jnp = slope_measure(
+        lambda u: flow.forward_and_ladj(u)[0] * 0.1, x)
     print(f"[bench] jnp/XLA fwd+logdet: {dt_jnp*1e3:.3f} ms "
           f"({batch/dt_jnp/1e6:.0f}M evals/s)", file=sys.stderr)
 
     if fused_ok:
-        dt = measure(fwd_packed, x_flat)
+        dt = slope_measure(
+            lambda u: fused_forward_and_ladj_packed(flow, u, dim)[0] * 0.1,
+            x_flat)
         print(f"[bench] packed pallas fwd+logdet: {dt*1e3:.3f} ms "
               f"({batch/dt/1e6:.0f}M evals/s, "
               f"{dt_jnp/dt:.2f}x vs jnp)", file=sys.stderr)
@@ -79,28 +97,31 @@ def main():
 
     evals_per_s = batch / dt
 
-    from enflows_tpu.train import mvnormal_negll_packed
+    # 4M batch for the chained train step (at 16M the kernel's per-tile
+    # grad partials exceed the 16 MB scoped-VMEM limit inside fori_loop);
+    # throughput is batch-linear here, so report per-sample.
+    batch_tr = 1 << 22
+    x_tr_flat = x_flat[: batch_tr * dim]
+    x_tr = x_tr_flat.reshape(batch_tr, dim)
 
-    @jax.jit
-    def grad_step(x):
-        return jax.grad(mvnormal_negll)(flow, x)
+    def grad_body_std(u):
+        loss, _ = jax.value_and_grad(
+            lambda f: mvnormal_negll(f, u))(flow)
+        return u + 1e-12 * loss
 
-    from enflows_tpu.ops.pallas.elementwise import fused_negll_value_and_grad
+    def grad_body_fused(u):
+        loss, _ = fused_negll_value_and_grad(flow, u, dim)
+        return u + 1e-12 * loss
 
-    @jax.jit
-    def grad_step_fused(x_flat):
-        return fused_negll_value_and_grad(flow, x_flat, dim)
-
-    dt_g = measure(grad_step, x, iters=10)
-    dt_gp = measure(grad_step_fused, x_flat, iters=10)
+    dt_g = slope_measure(grad_body_std, x_tr, k_hi=48)
+    dt_gp = slope_measure(grad_body_fused, x_tr_flat, k_hi=48)
     print(f"[bench] negll value+grad: std {dt_g*1e3:.3f} ms "
-          f"({batch/dt_g/1e6:.0f}M samples/s) | single-pass kernel "
-          f"{dt_gp*1e3:.3f} ms ({batch/dt_gp/1e6:.0f}M samples/s)",
-          file=sys.stderr)
+          f"({batch_tr/dt_g/1e6:.0f}M samples/s) | single-pass kernel "
+          f"{dt_gp*1e3:.3f} ms ({batch_tr/dt_gp/1e6:.0f}M samples/s, "
+          f"{dt_g/dt_gp:.2f}x)", file=sys.stderr)
 
     # Second reported config: d=50 (d !| 128 -> padded packed layout at 64
     # lanes/event; the BASELINE 50D flow-preconditioned NUTS config).
-    from enflows_tpu.ops.pallas.elementwise import pad_packed
     dim50 = 50
     batch50 = 1 << 17        # 128K samples (BASELINE config size)
     flow50 = _flagship_flow(dim50)
@@ -109,17 +130,11 @@ def main():
     x50_pad = jax.jit(lambda v: pad_packed(v.reshape(-1), dim50))(x50)
     jax.block_until_ready(x50_pad)
 
-    @jax.jit
-    def fwd50_jnp(x):
-        return flow50.forward_and_ladj(x)
-
-    @jax.jit
-    def fwd50_packed(x_flat):
-        return fused_forward_and_ladj_packed(flow50, x_flat, dim50,
-                                             padded=True)
-
-    dt50_jnp = measure(fwd50_jnp, x50)
-    dt50 = measure(fwd50_packed, x50_pad)
+    dt50_jnp = slope_measure(
+        lambda u: flow50.forward_and_ladj(u)[0] * 0.1, x50, k_hi=64)
+    dt50 = slope_measure(
+        lambda u: fused_forward_and_ladj_packed(
+            flow50, u, dim50, padded=True)[0] * 0.1, x50_pad, k_hi=64)
     print(f"[bench] d=50 fwd+logdet: jnp {dt50_jnp*1e3:.3f} ms "
           f"({batch50/dt50_jnp/1e6:.0f}M evals/s) | padded-packed kernel "
           f"{dt50*1e3:.3f} ms ({batch50/dt50/1e6:.0f}M evals/s, "

@@ -4,8 +4,9 @@ Establishes EMPIRICAL per-chip roofs on the real TPU (instead of quoting
 datasheet numbers that the toolchain may not reach):
 
 1. HBM bandwidth roof: a pure-copy Pallas kernel (y = x) at headline size.
-2. Transcendental roof: a Pallas kernel applying K=8 dependent exps per
-   element (amortizes memory traffic), giving elem-transcendentals/s.
+2. Transcendental roof: a Pallas kernel applying K=64 dependent exps per
+   element (so compute strictly dominates the tile's memory traffic),
+   giving elem-transcendentals/s.
 
 Then measures the headline kernels, counts their bytes moved and
 transcendental slots (static analysis of the stage bodies), and reports
@@ -13,12 +14,25 @@ achieved fraction of the BINDING roof:
 
     time_pred = max(bytes / BW_roof, transcendentals / T_roof)
 
+Timing methodology (important on this box): the axon tunnel adds ~1 ms of
+per-dispatch RPC overhead and `block_until_ready` returns before device
+work completes for small launches, so naive dispatch loops mis-time in
+BOTH directions. Every measurement here therefore chains K iterations
+inside ONE jit via `lax.fori_loop` (data-dependent carry, so nothing can
+be hoisted or elided), returns a scalar that is fetched to the host, and
+takes the SLOPE between a small-K and a large-K run:
+
+    t_iter = (t(K_hi) - t(K_lo)) / (K_hi - K_lo)
+
+which cancels the fixed RPC/fetch latency and measures pure device time.
+
 Results land in BASELINE.md's roofline table.
 
 Run on the real chip: python benchmarks/bench_roofline.py
 """
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -33,34 +47,42 @@ from enflows_tpu.utils.compilation_cache import \
 enable_persistent_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def measure(fn, *args, iters=30, warmup=5, repeats=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
-
-
 TILE = 1024
+K_LO, K_HI = 4, 24
+
+
+def slope_time(chain_k, *args, k_lo=K_LO, k_hi=K_HI, repeats=4):
+    """Per-iteration device time of ``chain_k(*args, k)`` via the two-K
+    slope; ``chain_k`` must run k data-dependent iterations and return a
+    scalar (which we fetch to force completion)."""
+    float(chain_k(*args, k_hi))  # compile both K variants
+    float(chain_k(*args, k_lo))
+
+    def best(k):
+        b = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(chain_k(*args, k))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    return (best(k_hi) - best(k_lo)) / (k_hi - k_lo)
 
 
 def _copy_kernel(x_ref, y_ref):
     y_ref[:] = x_ref[:]
 
 
+N_EXP = 64
+
+
 def _exp_kernel(x_ref, y_ref):
     t = x_ref[:]
-    for _ in range(8):          # dependent chain: measures raw exp rate
+    for _ in range(N_EXP):      # dependent chain: measures raw exp rate
         t = jnp.exp(-jnp.abs(t) * 0.1)
     y_ref[:] = t
 
@@ -77,6 +99,14 @@ def _pallas_map(kernel, x2d):
         out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
         interpret=jax.default_backend() == "cpu",
     )(x2d)
+
+
+def _chained_map(kernel):
+    @functools.partial(jax.jit, static_argnums=1)
+    def f(v, k):
+        out = lax.fori_loop(0, k, lambda i, u: _pallas_map(kernel, u), v)
+        return out[0, 0]
+    return f
 
 
 # Transcendental slot counts per ELEMENT for each stage body (read off
@@ -100,34 +130,44 @@ FLAGSHIP = ["Johnson", "CenterStretch", "Householder", "Johnson",
 
 
 def main():
-    print(f"backend={jax.default_backend()}")
+    print(f"backend={jax.default_backend()} "
+          f"kind={jax.devices()[0].device_kind}")
     n_rows = 1 << 17            # 128K rows x 128 lanes = 16.7M f32 elements
     x = jax.random.normal(jax.random.PRNGKey(0), (n_rows, 128), jnp.float32)
 
-    copy = jax.jit(lambda v: _pallas_map(_copy_kernel, v))
-    dt_copy = measure(copy, x)
+    # The microkernels run ~0.2-1 ms/iter, below the tunnel's ~10 ms RPC
+    # jitter at the default K spread — use a much wider spread so the
+    # slope is signal-dominated.
+    dt_copy = slope_time(_chained_map(_copy_kernel), x, k_lo=16, k_hi=528)
     nbytes = x.size * 4 * 2     # read + write
     bw_roof = nbytes / dt_copy
     print(f"copy roof: {dt_copy*1e3:.3f} ms -> {bw_roof/1e9:.0f} GB/s")
 
-    expk = jax.jit(lambda v: _pallas_map(_exp_kernel, v))
-    dt_exp = measure(expk, x)
-    # 8 exps + 8 |.| + 8 muls per element; attribute to exp slots.
-    t_roof = 8 * x.size / dt_exp
-    print(f"exp roof: {dt_exp*1e3:.3f} ms -> {t_roof/1e9:.1f} G exp/s")
+    dt_exp = slope_time(_chained_map(_exp_kernel), x, k_lo=16, k_hi=272)
+    # subtract the tile memory time so only the compute chain is counted
+    dt_exp_compute = max(dt_exp - dt_copy, 1e-9)
+    t_roof = N_EXP * x.size / dt_exp_compute
+    print(f"exp roof: {dt_exp*1e3:.3f} ms ({N_EXP} dependent exps) -> "
+          f"{t_roof/1e9:.1f} G exp/s")
 
     # ---- headline 1: packed fwd+logdet, flagship d=2, 16M samples.
     from __graft_entry__ import _flagship_flow
     from enflows_tpu.ops.pallas.elementwise import (
-        fused_forward_and_ladj_packed, fused_negll_value_and_grad,
-        pad_packed)
+        fused_forward_and_ladj_packed, fused_negll_value_and_grad)
 
     dim, batch = 2, 1 << 24
     flow = _flagship_flow(dim)
     x_flat = jax.random.normal(jax.random.PRNGKey(1), (batch * dim,),
                                jnp.float32)
-    fwd = jax.jit(lambda v: fused_forward_and_ladj_packed(flow, v, dim))
-    dt = measure(fwd, x_flat)
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain_fwd(v, k):
+        def body(i, u):
+            y, _ = fused_forward_and_ladj_packed(flow, u, dim)
+            return y * 0.1      # bounded, data-dependent carry
+        return lax.fori_loop(0, k, body, v)[0]
+
+    dt = slope_time(chain_fwd, x_flat)
     evals = batch / dt
     n_exp = sum(STAGE_TRANS[s][0] for s in FLAGSHIP)
     n_log = sum(STAGE_TRANS[s][1] for s in FLAGSHIP)
@@ -135,7 +175,8 @@ def main():
     elems = batch * dim
     # Treat log/sqrt as one transcendental slot each (VPU rates comparable).
     trans_total = (n_exp + n_log + n_sqrt) * elems
-    bytes_total = elems * 4 * 2 + batch * 4          # x in, y out, ladj out
+    # x in, y out, ladj out; plus the carry's y*0.1 write is already y out.
+    bytes_total = elems * 4 * 2 + batch * 4
     t_mem = bytes_total / bw_roof
     t_vpu = trans_total / t_roof
     t_pred = max(t_mem, t_vpu)
@@ -146,54 +187,102 @@ def main():
           f"-> binding={binding}, achieved {t_pred/dt*100:.0f}% of roof")
 
     # ---- headline 2: single-pass negll+grad train step.
-    train = jax.jit(lambda v: fused_negll_value_and_grad(flow, v, dim))
-    dt_tr = measure(train, x_flat, iters=10)
+    # 4M batch for the chained variant: at 16M the kernel's per-tile grad
+    # partials exceed the 16 MB scoped-VMEM limit once wrapped in the
+    # fori_loop's buffer assignment. Throughput is batch-linear well below
+    # that (verified vs the 16M dispatch-loop number), so report per-sample.
+    batch_tr = 1 << 22
+    x_tr = x_flat[: batch_tr * dim]
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def chain_train(v, k):
+        def body(i, u):
+            loss, _ = fused_negll_value_and_grad(flow, u, dim)
+            return u + 1e-12 * loss      # data-dependent, ~0 perturbation
+        return lax.fori_loop(0, k, body, v)[0]
+
+    dt_tr = slope_time(chain_train, x_tr, k_hi=48)
     # fwd + bwd sweep: roughly 2.5x forward transcendentals (bwd re-derives
     # stage adjoints; exp-family adjoints reuse forward values in-kernel,
-    # AD emits ~1.5x extra slots), bytes: x read only (loss+grads are
-    # tile-reduced partials).
-    trans_tr = trans_total * 2.5
-    bytes_tr = elems * 4
+    # AD emits ~1.5x extra slots), bytes: x read (+ the carry's re-write,
+    # an artifact of the chaining: subtract a size-scaled copy time).
+    elems_tr = batch_tr * dim
+    trans_tr = (n_exp + n_log + n_sqrt) * elems_tr * 2.5
+    bytes_tr = elems_tr * 4
+    dt_tr_adj = max(dt_tr - dt_copy * elems_tr / x.size, 1e-9)
     t_pred_tr = max(bytes_tr / bw_roof, trans_tr / t_roof)
     binding = "HBM" if bytes_tr / bw_roof > trans_tr / t_roof else \
         "VPU-transcendental"
-    print(f"[negll+grad d=2] {dt_tr*1e3:.3f} ms "
-          f"({batch/dt_tr/1e9:.2f} G samples/s); "
+    print(f"[negll+grad d=2] {dt_tr_adj*1e3:.3f} ms @ {batch_tr>>20}M "
+          f"({batch_tr/dt_tr_adj/1e9:.2f} G samples/s); "
           f"pred {t_pred_tr*1e3:.3f} ms -> binding={binding}, "
-          f"achieved {t_pred_tr/dt_tr*100:.0f}% of roof")
+          f"achieved {t_pred_tr/dt_tr_adj*100:.0f}% of roof")
 
     # ---- headline 3: leapfrog+logprob, 8192 chains x 50D Gaussian.
-    from enflows_tpu.mcmc.hmc import hmc_kernel, init_state
-    d50, chains, L = 50, 8192, 64
+    # The L=64 inner steps are the chained iterations; slope over L.
+    d50, chains, L_LO, L_HI = 50, 8192, 16, 64
     C = 0.9 * np.ones((d50, d50)) + 0.1 * np.eye(d50)
     P = jnp.asarray(np.linalg.inv(C), jnp.float32)
     logp = lambda q: -0.5 * q @ P @ q
-    kernel = hmc_kernel(logp, num_steps=L)
+    vg = jax.value_and_grad(logp)
     q0 = jax.random.normal(jax.random.PRNGKey(2), (chains, d50),
                            jnp.float32)
-    states = jax.jit(jax.vmap(lambda q: init_state(logp, q)))(q0)
-    keys = jax.random.split(jax.random.PRNGKey(3), chains)
-    ones = jnp.ones((d50,), jnp.float32)
-    step = jax.jit(lambda ks, st: jax.vmap(
-        kernel, in_axes=(0, 0, None, None))(ks, st, 0.05, ones))
-    dt_lf = measure(step, keys, states, iters=10)
-    lf_per_s = chains * L / dt_lf
+    p0 = jax.random.normal(jax.random.PRNGKey(3), (chains, d50),
+                           jnp.float32)
+
+    from enflows_tpu.mcmc.hmc import leapfrog
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain_lf(q, p, L):
+        g = jax.vmap(lambda qq: vg(qq)[1])(q)
+        qf, pf, _, _ = jax.vmap(
+            lambda q1, p1, g1: leapfrog(vg, q1, p1, g1, 0.05,
+                                        jnp.ones(d50), L))(q, p, g)
+        return qf[0, 0] + pf[0, 0]
+
+    dt_lf = slope_time(chain_lf, q0, p0, k_lo=L_LO, k_hi=L_HI)
+    lf_per_s = chains / dt_lf
     # Per leapfrog step per chain: value_and_grad of q@P q = 1 matvec
     # (2*d^2 flops) fwd + grad = P q reused -> AD does fwd ~2d^2 + bwd
     # ~2d^2 = 4d^2 flops on the MXU.
-    flops = chains * L * 4 * d50 * d50
-    mxu_roof = 99e12 if jax.default_backend() == "tpu" else 1e12  # f32/s
+    flops = chains * 4 * d50 * d50
+    mxu_roof = 197e12 / 2 if jax.default_backend() == "tpu" else 1e12
     t_mxu = flops / mxu_roof
-    # Memory: q,p,grad states round-trip HBM per scan step (lax.scan over
-    # L): 3 arrays x chains x d x 4B x 2(r+w) per step.
-    bytes_lf = L * 3 * chains * d50 * 4 * 2
+    # Memory per step: q,p,grad states round-trip HBM per scan step:
+    # 3 arrays x chains x d x 4B x 2(r+w).
+    bytes_lf = 3 * chains * d50 * 4 * 2
     t_mem_lf = bytes_lf / bw_roof
     binding = "HBM" if t_mem_lf > t_mxu else "MXU"
     t_pred_lf = max(t_mem_lf, t_mxu)
-    print(f"[leapfrog 50D] {dt_lf*1e3:.3f} ms ({lf_per_s/1e6:.0f} M "
-          f"leapfrog-steps/s); pred mem {t_mem_lf*1e3:.3f} ms, "
-          f"pred mxu {t_mxu*1e3:.3f} ms -> binding={binding}, "
+    print(f"[leapfrog 50D] {dt_lf*1e6:.1f} us/step ({lf_per_s/1e6:.0f} M "
+          f"leapfrog-steps/s); pred mem {t_mem_lf*1e6:.1f} us, "
+          f"pred mxu {t_mxu*1e6:.1f} us -> binding={binding}, "
           f"achieved {t_pred_lf/dt_lf*100:.0f}% of roof")
+
+    # ---- fused leapfrog kernel on the flow chain (the M5 kernel).
+    try:
+        import enflows_tpu as ef
+        from enflows_tpu.ops.pallas.leapfrog import fused_leapfrog
+        v = lambda val: jnp.full((d50,), val, jnp.float32)
+        fchain = ef.compose(
+            ef.Johnson(gamma=v(0.0), delta=v(5.0), xi=v(0.0), lam=v(5.0)),
+            ef.invert(ef.CenterStretch(a=v(0.0), b=v(1.0), c=v(0.0))),
+            ef.Householder(V=jax.random.normal(jax.random.PRNGKey(0),
+                                               (4, d50))).canonicalize(),
+        )
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def chain_fused(q, p, L):
+            qf, pf, _, _ = fused_leapfrog(fchain, q, p, 0.05, L)
+            return qf[0, 0] + pf[0, 0]
+
+        # ~30 us/step: needs a much wider L spread than the jnp path for
+        # the slope to clear the tunnel's RPC jitter.
+        dt_fl = slope_time(chain_fused, 0.3 * q0, p0, k_lo=64, k_hi=2048)
+        print(f"[fused-leapfrog 50D flow] {dt_fl*1e6:.1f} us/step "
+              f"({chains/dt_fl/1e6:.0f} M leapfrog-steps/s)")
+    except Exception as e:          # CPU interpret mode may not support it
+        print(f"[fused-leapfrog] skipped: {e}")
 
 
 if __name__ == "__main__":

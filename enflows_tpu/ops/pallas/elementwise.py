@@ -74,6 +74,17 @@ ELEMENTWISE_KINDS = (ScaleShift, CenterStretch, CenterContract, Johnson,
                      JohnsonInv)
 FUSIBLE_KINDS = ELEMENTWISE_KINDS + (Householder,)
 
+# Largest event dim at which the packed kernel BEATS XLA's own fusion of
+# the jnp path (measured on v5e, slope-method device timing, 8M elements:
+# d=2 2.93x, d=4 1.19x, d=8 1.40x, d=16 0.48x, d=50 0.67x, d=128 0.13x —
+# benchmarks/bench_roofline.py methodology; at d >= 16 XLA lays the (n,d)
+# batch out well and runs near the VPU-transcendental roof, while the
+# packed layout pays its block-diagonal Householder matmul and
+# ladj segment reduction for nothing). Auto-dispatch (`fused_forward_and
+# _ladj`, `optimize_whitening(use_fused=None)`) uses the kernel only at or
+# below this dim; the packed variant stays callable at any d <= 128.
+PACKED_WIN_MAX_DIM = 8
+
 
 def event_pad(dim: int) -> int:
     """Lane stride per event in the packed layout: the smallest divisor of
@@ -246,11 +257,15 @@ def _build_kernel(stage_types, nparams_per_stage, dim):
     def kernel(x_ref, seg_ref, *refs):
         y_ref, ladj_ref = refs[-2], refs[-1]
         prefs = refs[:-2]
-        t = x_ref[:]
+        # Compute in f32 regardless of storage dtype: bf16 only halves the
+        # HBM traffic; the VPU transcendentals run f32 either way, and
+        # storing f32 intermediates to a bf16 ref is invalid on hardware.
+        t = x_ref[:].astype(jnp.float32)
         acc = None
         i = 0
         for st, np_ in zip(stage_types, nparams_per_stage):
-            params = [prefs[i + j][:] for j in range(np_)]
+            params = [prefs[i + j][:].astype(jnp.float32)
+                      for j in range(np_)]
             i += np_
             if st is Householder:
                 t = jax.lax.dot(t, params[0],
@@ -260,15 +275,16 @@ def _build_kernel(stage_types, nparams_per_stage, dim):
             t, elem = _APPLY[st](t, *params)
             elem = jnp.broadcast_to(elem, t.shape)
             acc = elem if acc is None else acc + elem
-        y_ref[:] = t
+        y_ref[:] = t.astype(y_ref.dtype)
         if acc is None:
             ladj_ref[:] = jnp.zeros_like(ladj_ref)
         else:
             # Per-sample segment reduction over runs of d lanes: one small
             # (128, 128/d) 0/1 matmul (HIGHEST precision, see module doc).
             ladj_ref[:] = jax.lax.dot(
-                acc, seg_ref[:], precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+                acc, seg_ref[:].astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).astype(ladj_ref.dtype)
 
     return kernel
 
@@ -428,12 +444,15 @@ def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
         pgrad_refs = refs[n_params_total + 1:]
 
         # Forward recompute, storing each stage's input tile.
-        t = x_ref[:]
+        # f32 internal compute regardless of storage dtype (see
+        # _build_kernel); cotangents likewise.
+        t = x_ref[:].astype(jnp.float32)
         inputs = []
         i = 0
         all_params = []
         for st, np_ in zip(stage_types, nparams_per_stage):
-            params = [prefs[i + j][:] for j in range(np_)]
+            params = [prefs[i + j][:].astype(jnp.float32)
+                      for j in range(np_)]
             all_params.append(params)
             i += np_
             inputs.append(t)
@@ -445,10 +464,11 @@ def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
                 t, _ = _APPLY[st](t, *params)
 
         # Ladj cotangent per element: (tile, spd) @ (spd, 128).
-        ce = jax.lax.dot(gladj_ref[:], segT_ref[:],
+        ce = jax.lax.dot(gladj_ref[:].astype(jnp.float32),
+                         segT_ref[:].astype(jnp.float32),
                          precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
-        cy = gy_ref[:]
+        cy = gy_ref[:].astype(jnp.float32)
 
         # Backward sweep; vjp at trace time emits stage adjoints.
         pg_out = [None] * len(pgrad_refs)
@@ -480,9 +500,9 @@ def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
                     pg_out[pidx + j] = grads[1 + j]
             cy = ct
 
-        gx_ref[:] = cy
+        gx_ref[:] = cy.astype(gx_ref.dtype)
         for ref, val in zip(pgrad_refs, pg_out):
-            ref[:] = val
+            ref[:] = val.astype(ref.dtype)
 
     return kernel
 
@@ -556,6 +576,10 @@ def _fused_packed_bwd_impl(static, x_flat, flat_params, gy_flat, gladj):
             def __init__(self, ref):
                 self.ref = ref
 
+            @property
+            def dtype(self):
+                return self.ref.dtype
+
             def __setitem__(self, idx, val):
                 self.ref[0] = val
 
@@ -607,13 +631,15 @@ def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, dp,
         emask = ((flat_idx < total)
                  & (cols % dp < dim)).astype(jnp.float32)
 
-        # Forward, storing stage inputs tile-resident.
-        t = x_ref[:]
+        # Forward, storing stage inputs tile-resident (f32 internal
+        # compute regardless of storage dtype, see _build_kernel).
+        t = x_ref[:].astype(jnp.float32)
         inputs, all_params = [], []
         acc = None
         pi = 0
         for st, np_ in zip(stage_types, nparams_per_stage):
-            params = [prefs[pi + j][:] for j in range(np_)]
+            params = [prefs[pi + j][:].astype(jnp.float32)
+                      for j in range(np_)]
             all_params.append(params)
             pi += np_
             inputs.append(t)
@@ -628,7 +654,8 @@ def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, dp,
 
         logpdf = -(t * t + _LOG_2PI) * 0.5
         tot = logpdf if acc is None else logpdf + acc
-        loss_ref[0] = jnp.sum(emask * tot, axis=0, keepdims=True)
+        loss_ref[0] = jnp.sum(emask * tot, axis=0,
+                              keepdims=True).astype(loss_ref.dtype)
 
         # Backward with the analytic negll cotangents (unscaled by 1/n —
         # the host divides; signs: negll = -(sum)/n so c_y = +y/n etc.
@@ -666,7 +693,7 @@ def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, dp,
             cy = ct
 
         for ref, val in zip(pgrad_refs, pg_out):
-            ref[0] = val
+            ref[0] = val.astype(ref.dtype)
 
     return kernel
 
@@ -890,11 +917,14 @@ def _build_rowwise_kernel(stage_types, nparams_per_stage, dim):
     def kernel(x_ref, *refs):
         y_ref, ladj_ref = refs[-2], refs[-1]
         prefs = refs[:-2]
-        t = x_ref[:]
+        # f32 internal compute, storage-dtype at the ref boundary (see
+        # _build_kernel).
+        t = x_ref[:].astype(jnp.float32)
         acc = None
         i = 0
         for st, np_ in zip(stage_types, nparams_per_stage):
-            params = [prefs[i + j][:] for j in range(np_)]
+            params = [prefs[i + j][:].astype(jnp.float32)
+                      for j in range(np_)]
             i += np_
             if st is Householder:
                 t = jax.lax.dot(t, params[0],
@@ -904,11 +934,12 @@ def _build_rowwise_kernel(stage_types, nparams_per_stage, dim):
             t, elem = _APPLY[st](t, *params)
             elem = jnp.broadcast_to(elem, t.shape)
             acc = elem if acc is None else acc + elem
-        y_ref[:] = t
+        y_ref[:] = t.astype(y_ref.dtype)
         if acc is None:
             ladj_ref[:] = jnp.zeros_like(ladj_ref)
         else:
-            ladj_ref[:] = jnp.sum(acc, axis=1, keepdims=True)
+            ladj_ref[:] = jnp.sum(acc, axis=1,
+                                  keepdims=True).astype(ladj_ref.dtype)
 
     return kernel
 
@@ -985,17 +1016,18 @@ def fused_forward_and_ladj(chain: Bijector, x: jax.Array,
                            allow_rowwise: bool = False):
     """Fused (y, per-sample ladj) for a standard-layout (n, d) batch.
 
-    d | 128: packed path after a layout shuffle — prefer calling the packed
-    variant directly in hot loops. Other d: jnp fallback by default —
-    measured on v5e, the rowwise kernel LOSES to XLA's own fusion on this
-    layout (0.70x at d=50, n=128K: both pay the d/128 lane padding, and
-    XLA schedules the padded elementwise chain better than Mosaic here),
-    so it stays opt-in via ``allow_rowwise`` for experimentation.
+    d <= PACKED_WIN_MAX_DIM (= 8): packed path after a layout shuffle —
+    prefer calling the packed variant directly in hot loops. Larger d:
+    jnp by default — measured on v5e (slope-method device timing), XLA's
+    own fusion of the (n, d) layout beats both custom kernels there: the
+    packed kernel is 0.48x at d=16 / 0.67x at d=50 / 0.13x at d=128 (see
+    PACKED_WIN_MAX_DIM), and the rowwise kernel 0.70x at d=50. The
+    rowwise path stays opt-in via ``allow_rowwise`` for experimentation.
     """
     if x.ndim != 2:
         return chain.forward_and_ladj(x)
     n, dim = x.shape
-    if is_fusible_chain(chain, dim, x.dtype):
+    if dim <= PACKED_WIN_MAX_DIM and is_fusible_chain(chain, dim, x.dtype):
         dp = event_pad(dim)
         with jax.named_scope("enflows.pallas.fused_fwd_ladj_packed"):
             if dp == dim:

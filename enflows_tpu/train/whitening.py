@@ -128,11 +128,15 @@ def optimize_whitening(
         opt_state = optimizer.init(initial_flow)
 
     if use_fused is None:
-        from ..ops.pallas.elementwise import is_fusible_chain
+        from ..ops.pallas.elementwise import (PACKED_WIN_MAX_DIM,
+                                              is_fusible_chain)
         # Fixed per-step pallas dispatch cost only amortizes on large
-        # batches; below ~64K elements XLA's fused jnp path wins.
+        # batches; below ~64K elements — or above d=8, where XLA lays the
+        # (n, d) batch out near the VPU roof itself — the jnp path wins
+        # (see PACKED_WIN_MAX_DIM).
         use_fused = (mesh is None
                      and batch_size * dim >= (1 << 16)
+                     and dim <= PACKED_WIN_MAX_DIM
                      and is_fusible_chain(initial_flow, dim,
                                           samples.dtype))
     if use_fused:
