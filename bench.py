@@ -66,8 +66,8 @@ def slope_measure(body, x, k_lo=K_LO, k_hi=K_HI, repeats=4):
 def main():
     from __graft_entry__ import _flagship_flow
     from enflows_tpu.ops.pallas.elementwise import (
-        fused_forward_and_ladj_packed, fused_negll_value_and_grad,
-        is_fusible_chain, pad_packed)
+        fused_forward_and_ladj, fused_forward_and_ladj_packed,
+        fused_negll_value_and_grad, is_fusible_chain)
     from enflows_tpu.train import mvnormal_negll
 
     dim = 2
@@ -79,15 +79,27 @@ def main():
 
     fused_ok = is_fusible_chain(flow, dim, jnp.float32)
 
-    dt_jnp = slope_measure(
-        lambda u: flow.forward_and_ladj(u)[0] * 0.1, x)
+    # Every body folds BOTH outputs (y and ladj) into the carry: dropping
+    # ladj lets XLA dead-code-eliminate the jnp path's logdet computation
+    # while the Pallas kernel always computes it in-kernel (one opaque
+    # call), biasing the comparison in jnp's favor (ADVICE.md r2). The
+    # fold is a SCALAR sum — every ladj element feeds it, so nothing is
+    # DCE-able, and the broadcast-add fuses without any relayout (a
+    # ladj[:, None] fold would force the packed layout's 64x relayout).
+    def jnp_body(u):
+        y, ladj = flow.forward_and_ladj(u)
+        return y * 0.1 + 1e-12 * jnp.sum(ladj)
+
+    def packed_body(u):
+        y, ladj = fused_forward_and_ladj_packed(flow, u, dim)
+        return y * 0.1 + 1e-12 * jnp.sum(ladj)
+
+    dt_jnp = slope_measure(jnp_body, x)
     print(f"[bench] jnp/XLA fwd+logdet: {dt_jnp*1e3:.3f} ms "
           f"({batch/dt_jnp/1e6:.0f}M evals/s)", file=sys.stderr)
 
     if fused_ok:
-        dt = slope_measure(
-            lambda u: fused_forward_and_ladj_packed(flow, u, dim)[0] * 0.1,
-            x_flat)
+        dt = slope_measure(packed_body, x_flat)
         print(f"[bench] packed pallas fwd+logdet: {dt*1e3:.3f} ms "
               f"({batch/dt/1e6:.0f}M evals/s, "
               f"{dt_jnp/dt:.2f}x vs jnp)", file=sys.stderr)
@@ -104,14 +116,21 @@ def main():
     x_tr_flat = x_flat[: batch_tr * dim]
     x_tr = x_tr_flat.reshape(batch_tr, dim)
 
+    # Fold loss AND every gradient leaf into the carry — with only the
+    # loss carried, XLA DCEs the std path's entire backward pass and the
+    # "value+grad" timing measures forward-only negll (ADVICE.md r2).
+    def _fold_grads(u, loss, grads):
+        gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+        return u + 1e-12 * loss + 1e-12 * gsum
+
     def grad_body_std(u):
-        loss, _ = jax.value_and_grad(
+        loss, grads = jax.value_and_grad(
             lambda f: mvnormal_negll(f, u))(flow)
-        return u + 1e-12 * loss
+        return _fold_grads(u, loss, grads)
 
     def grad_body_fused(u):
-        loss, _ = fused_negll_value_and_grad(flow, u, dim)
-        return u + 1e-12 * loss
+        loss, grads = fused_negll_value_and_grad(flow, u, dim)
+        return _fold_grads(u, loss, grads)
 
     dt_g = slope_measure(grad_body_std, x_tr, k_hi=48)
     dt_gp = slope_measure(grad_body_fused, x_tr_flat, k_hi=48)
@@ -120,25 +139,23 @@ def main():
           f"{dt_gp*1e3:.3f} ms ({batch_tr/dt_gp/1e6:.0f}M samples/s, "
           f"{dt_g/dt_gp:.2f}x)", file=sys.stderr)
 
-    # Second reported config: d=50 (d !| 128 -> padded packed layout at 64
-    # lanes/event; the BASELINE 50D flow-preconditioned NUTS config).
+    # Second reported config: d=50 (the BASELINE 50D flow-preconditioned
+    # NUTS config), measured through the DISPATCHED path — at d=50 the
+    # auto-dispatch runs the jnp/XLA route (PACKED_WIN_MAX_DIM); the
+    # packed-vs-jnp d-sweep lives in benchmarks/bench_dispatch_sweep.py.
     dim50 = 50
     batch50 = 1 << 17        # 128K samples (BASELINE config size)
     flow50 = _flagship_flow(dim50)
     x50 = jax.random.normal(jax.random.PRNGKey(1), (batch50, dim50),
                             jnp.float32)
-    x50_pad = jax.jit(lambda v: pad_packed(v.reshape(-1), dim50))(x50)
-    jax.block_until_ready(x50_pad)
 
-    dt50_jnp = slope_measure(
-        lambda u: flow50.forward_and_ladj(u)[0] * 0.1, x50, k_hi=64)
-    dt50 = slope_measure(
-        lambda u: fused_forward_and_ladj_packed(
-            flow50, u, dim50, padded=True)[0] * 0.1, x50_pad, k_hi=64)
-    print(f"[bench] d=50 fwd+logdet: jnp {dt50_jnp*1e3:.3f} ms "
-          f"({batch50/dt50_jnp/1e6:.0f}M evals/s) | padded-packed kernel "
-          f"{dt50*1e3:.3f} ms ({batch50/dt50/1e6:.0f}M evals/s, "
-          f"{dt50_jnp/dt50:.2f}x vs jnp)", file=sys.stderr)
+    def body50(u):
+        y, ladj = fused_forward_and_ladj(flow50, u)
+        return y * 0.1 + 1e-12 * jnp.sum(ladj)
+
+    dt50 = slope_measure(body50, x50, k_hi=64)
+    print(f"[bench] d=50 fwd+logdet (dispatched path): {dt50*1e3:.3f} ms "
+          f"({batch50/dt50/1e6:.0f}M evals/s)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "flow_fwd_logdet_evals_per_s_per_chip",

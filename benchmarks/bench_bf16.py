@@ -5,7 +5,8 @@ Two claims the library makes about bfloat16 that round 1 never measured:
 1. The packed fused Pallas kernel admits bf16 inputs/params
    (``is_fusible_chain`` accepts bfloat16) — measure the packed kernel
    f32 vs bf16 at headline size and report the speedup plus max |err|
-   against the f64 jnp oracle.
+   against the f32 jnp oracle (Mosaic has no f64 lowering on TPU; the
+   bf16 error under test is ~100x the f32 oracle's own noise floor).
 2. ``MLPConditioner(compute_dtype='bfloat16')`` claims "~2x MXU rate" for
    the coupling conditioner — measure forward_and_ladj of a coupling
    stack f32 vs bf16 on the real chip.

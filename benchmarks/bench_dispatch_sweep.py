@@ -62,10 +62,21 @@ def main():
         x = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
         xp = jax.jit(lambda v: pad_packed(v.reshape(-1), d))(x)
         jax.block_until_ready(xp)
-        dt_j = slope(lambda u: flow.forward_and_ladj(u)[0] * 0.1, x)
-        dt_p = slope(
-            lambda u: fused_forward_and_ladj_packed(
-                flow, u, d, padded=True)[0] * 0.1, xp)
+        # Both carries fold y AND ladj (as a scalar sum — forces the full
+        # ladj computation with no relayout): with ladj dropped, XLA DCEs
+        # the jnp path's logdet computation while the packed kernel always
+        # computes it in-kernel — a biased crossover (ADVICE.md r2).
+        def jnp_body(u, flow=flow):
+            y, ladj = flow.forward_and_ladj(u)
+            return y * 0.1 + 1e-12 * jnp.sum(ladj)
+
+        def packed_body(u, flow=flow, d=d):
+            y, ladj = fused_forward_and_ladj_packed(flow, u, d,
+                                                    padded=True)
+            return y * 0.1 + 1e-12 * jnp.sum(ladj)
+
+        dt_j = slope(jnp_body, x)
+        dt_p = slope(packed_body, xp)
         print(f"d={d:4d} dp={event_pad(d):3d} n={n}: "
               f"jnp {n/dt_j/1e6:8.0f}M/s  packed {n/dt_p/1e6:8.0f}M/s  "
               f"ratio {dt_j/dt_p:5.2f}x", flush=True)

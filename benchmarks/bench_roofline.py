@@ -163,8 +163,10 @@ def main():
     @functools.partial(jax.jit, static_argnums=1)
     def chain_fwd(v, k):
         def body(i, u):
-            y, _ = fused_forward_and_ladj_packed(flow, u, dim)
-            return y * 0.1      # bounded, data-dependent carry
+            # carry folds y AND ladj (scalar sum: no relayout, nothing
+            # DCE-able; bounded, data-dependent)
+            y, ladj = fused_forward_and_ladj_packed(flow, u, dim)
+            return y * 0.1 + 1e-12 * jnp.sum(ladj)
         return lax.fori_loop(0, k, body, v)[0]
 
     dt = slope_time(chain_fwd, x_flat)
@@ -197,15 +199,20 @@ def main():
     @functools.partial(jax.jit, static_argnums=1)
     def chain_train(v, k):
         def body(i, u):
-            loss, _ = fused_negll_value_and_grad(flow, u, dim)
-            return u + 1e-12 * loss      # data-dependent, ~0 perturbation
+            # carry folds loss AND every grad leaf so nothing is DCE-able
+            loss, grads = fused_negll_value_and_grad(flow, u, dim)
+            gsum = sum(jnp.sum(g)
+                       for g in jax.tree_util.tree_leaves(grads))
+            return u + 1e-12 * loss + 1e-12 * gsum
         return lax.fori_loop(0, k, body, v)[0]
 
     dt_tr = slope_time(chain_train, x_tr, k_hi=48)
     # fwd + bwd sweep: roughly 2.5x forward transcendentals (bwd re-derives
     # stage adjoints; exp-family adjoints reuse forward values in-kernel,
-    # AD emits ~1.5x extra slots), bytes: x read (+ the carry's re-write,
-    # an artifact of the chaining: subtract a size-scaled copy time).
+    # AD emits ~1.5x extra slots), bytes: x read. The chained carry adds a
+    # full x rewrite per iteration that the real train step does not pay;
+    # the MEASURED (unadjusted) number is the headline, the copy-subtracted
+    # estimate is reported alongside for context only (ADVICE.md r2).
     elems_tr = batch_tr * dim
     trans_tr = (n_exp + n_log + n_sqrt) * elems_tr * 2.5
     bytes_tr = elems_tr * 4
@@ -213,10 +220,13 @@ def main():
     t_pred_tr = max(bytes_tr / bw_roof, trans_tr / t_roof)
     binding = "HBM" if bytes_tr / bw_roof > trans_tr / t_roof else \
         "VPU-transcendental"
-    print(f"[negll+grad d=2] {dt_tr_adj*1e3:.3f} ms @ {batch_tr>>20}M "
-          f"({batch_tr/dt_tr_adj/1e9:.2f} G samples/s); "
+    print(f"[negll+grad d=2] {dt_tr*1e3:.3f} ms @ {batch_tr>>20}M "
+          f"({batch_tr/dt_tr/1e9:.2f} G samples/s measured; "
+          f"{batch_tr/dt_tr_adj/1e9:.2f} G after subtracting the chained "
+          f"carry's copy artifact); "
           f"pred {t_pred_tr*1e3:.3f} ms -> binding={binding}, "
-          f"achieved {t_pred_tr/dt_tr_adj*100:.0f}% of roof")
+          f"achieved {t_pred_tr/dt_tr*100:.0f}% of roof "
+          f"({t_pred_tr/dt_tr_adj*100:.0f}% adjusted)")
 
     # ---- headline 3: leapfrog+logprob, 8192 chains x 50D Gaussian.
     # The L=64 inner steps are the chained iterations; slope over L.

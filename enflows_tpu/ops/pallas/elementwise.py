@@ -74,14 +74,17 @@ ELEMENTWISE_KINDS = (ScaleShift, CenterStretch, CenterContract, Johnson,
                      JohnsonInv)
 FUSIBLE_KINDS = ELEMENTWISE_KINDS + (Householder,)
 
-# Largest event dim at which the packed kernel BEATS XLA's own fusion of
-# the jnp path (measured on v5e, slope-method device timing, 8M elements:
-# d=2 2.93x, d=4 1.19x, d=8 1.40x, d=16 0.48x, d=50 0.67x, d=128 0.13x —
-# benchmarks/bench_roofline.py methodology; at d >= 16 XLA lays the (n,d)
-# batch out well and runs near the VPU-transcendental roof, while the
-# packed layout pays its block-diagonal Householder matmul and
-# ladj segment reduction for nothing). Auto-dispatch (`fused_forward_and
-# _ladj`, `optimize_whitening(use_fused=None)`) uses the kernel only at or
+# Largest event dim at which the packed kernel CLEARLY BEATS XLA's own
+# fusion of the jnp path (measured on v5e, slope-method device timing, 8M
+# elements, with the full ladj folded into the carry on BOTH paths so
+# nothing is DCE-able — ADVICE r2 re-measurement, 2026-08-20: d=2 4.24x,
+# d=4 2.19x, d=8 1.42x, d=16 0.94x, d=32 0.97x, d=50 0.85x, d=64 0.98x,
+# d=100 0.86x, d=128 1.14x — benchmarks/bench_dispatch_sweep.py). Beyond
+# d=8 the two paths are within ~15% of each other either way (the packed
+# layout's block-diagonal Householder matmul + ladj segment reduction
+# cancel its lane-utilization win), so the dispatch keeps the simpler
+# jnp path there. Auto-dispatch (`fused_forward_and_ladj`,
+# `optimize_whitening(use_fused=None)`) uses the kernel only at or
 # below this dim; the packed variant stays callable at any d <= 128.
 PACKED_WIN_MAX_DIM = 8
 
@@ -1018,10 +1021,10 @@ def fused_forward_and_ladj(chain: Bijector, x: jax.Array,
 
     d <= PACKED_WIN_MAX_DIM (= 8): packed path after a layout shuffle —
     prefer calling the packed variant directly in hot loops. Larger d:
-    jnp by default — measured on v5e (slope-method device timing), XLA's
-    own fusion of the (n, d) layout beats both custom kernels there: the
-    packed kernel is 0.48x at d=16 / 0.67x at d=50 / 0.13x at d=128 (see
-    PACKED_WIN_MAX_DIM), and the rowwise kernel 0.70x at d=50. The
+    jnp by default — measured on v5e with DCE-proof carries (slope-method
+    device timing), the packed kernel and XLA's own fusion of the (n, d)
+    layout are within ~15% of each other there (0.85-1.14x, see
+    PACKED_WIN_MAX_DIM), and the rowwise kernel loses at d=50. The
     rowwise path stays opt-in via ``allow_rowwise`` for experimentation.
     """
     if x.ndim != 2:
