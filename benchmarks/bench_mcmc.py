@@ -13,6 +13,11 @@ import json
 import sys
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import jax
 
 from enflows_tpu.utils.compilation_cache import \

@@ -289,8 +289,28 @@ def main():
         # ~30 us/step: needs a much wider L spread than the jnp path for
         # the slope to clear the tunnel's RPC jitter.
         dt_fl = slope_time(chain_fused, 0.3 * q0, p0, k_lo=64, k_hi=2048)
+
+        # Roofline accounting (VERDICT r2 next #4a — the previously
+        # missing row). Per leapfrog step: ONE gradient evaluation =
+        # forward through the 3-stage chain + adjoint sweep (~2.5x the
+        # forward transcendental slots, same counting as the negll
+        # kernel). The chain here is Johnson (3) + CenterContract (5) +
+        # Householder (0) = 8 trans/elem forward -> 20/elem/step. The
+        # kernel computes on PADDED lanes (d=50 -> 64 lanes/event, 78%
+        # utilization), so device work counts padded elements. Bytes/step
+        # ~ 0: the whole trajectory is VMEM-resident (that is the point),
+        # so the binding roof is VPU-transcendental; the MXU matmul
+        # (2x (128,128) block-diag per grad eval) overlaps.
+        dp50 = 64
+        trans_fl = 8 * 2.5 * chains * dp50          # per step, padded
+        t_vpu_fl = trans_fl / t_roof
         print(f"[fused-leapfrog 50D flow] {dt_fl*1e6:.1f} us/step "
-              f"({chains/dt_fl/1e6:.0f} M leapfrog-steps/s)")
+              f"({chains/dt_fl/1e6:.0f} M leapfrog-steps/s); "
+              f"20 trans/padded-elem/step, bytes/step ~0 (VMEM-resident) "
+              f"-> binding=VPU-transcendental, pred {t_vpu_fl*1e6:.1f} "
+              f"us, achieved {t_vpu_fl/dt_fl*100:.0f}% of roof "
+              f"({t_vpu_fl/dt_fl*100*d50/dp50:.0f}% counting only real "
+              f"lanes as useful work)")
     except Exception as e:          # CPU interpret mode may not support it
         print(f"[fused-leapfrog] skipped: {e}")
 

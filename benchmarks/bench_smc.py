@@ -11,6 +11,11 @@ import json
 import sys
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
 import jax
 
 from enflows_tpu.utils.compilation_cache import \
@@ -32,9 +37,10 @@ def bench_2d(num_particles=65536):
         return -0.5 * jnp.sum(d * d) / 0.25
 
     true_logz = np.log(2 * np.pi * 0.25)
-    # warm compile
+    # warm compile (identical shapes/max_temps: the in-graph ladder jit is
+    # keyed on max_temps, so the warm call must match the timed one)
     smc_sample(log_target, jax.random.PRNGKey(9), dim=2,
-               num_particles=num_particles, max_temps=3)
+               num_particles=num_particles)
     t0 = time.time()
     parts, lw, logz, infos = smc_sample(
         log_target, jax.random.PRNGKey(0), dim=2,
@@ -48,6 +54,40 @@ def bench_2d(num_particles=65536):
     return num_particles * len(infos) / dt
 
 
+def bench_ladder_modes(num_particles=65536):
+    """In-graph `lax.while_loop` ladder vs per-temperature Python loop on
+    the 2D config (VERDICT r2 #5): the Python ladder pays ~1 ms of tunnel
+    RPC per jitted call (2 calls + 6 float() syncs per temperature on this
+    box); the one-jit ladder pays one dispatch for the whole run."""
+    mu = jnp.asarray([3.0, -2.0], jnp.float32)
+
+    def log_target(q):
+        d = q - mu
+        return -0.5 * jnp.sum(d * d) / 0.25
+
+    times = {}
+    for mode in (True, False):
+        smc_sample(log_target, jax.random.PRNGKey(9), dim=2,
+                   num_particles=num_particles, max_temps=3,
+                   in_graph=mode)   # warm compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            parts, _, _, infos = smc_sample(
+                log_target, jax.random.PRNGKey(0), dim=2,
+                num_particles=num_particles, in_graph=mode)
+            jax.block_until_ready(parts)
+            best = min(best, time.time() - t0)
+        times[mode] = (best, len(infos))
+    (t_in, n_t), (t_host, _) = times[True], times[False]
+    print(f"[smc-ladder] {n_t} temps: in-graph {t_in*1e3:.1f} ms | "
+          f"host-loop {t_host*1e3:.1f} ms | saving "
+          f"{(t_host-t_in)*1e3:.1f} ms/ladder "
+          f"({(t_host-t_in)/max(n_t,1)*1e3:.2f} ms/temperature)",
+          file=sys.stderr)
+    return t_host - t_in
+
+
 def bench_100d(num_particles=32768):
     dim = 100
 
@@ -57,6 +97,8 @@ def bench_100d(num_particles=32768):
         return jnp.logaddexp(a, b)
 
     true_logz = dim * 0.5 * np.log(2 * np.pi)
+    smc_sample(log_target, jax.random.PRNGKey(9), dim=dim,
+               num_particles=num_particles, mutation_steps=8)  # warm
     t0 = time.time()
     parts, lw, logz, infos = smc_sample(
         log_target, jax.random.PRNGKey(0), dim=dim,
@@ -81,6 +123,8 @@ def bench_transport(num_particles=65536):
 
     fit = make_transport_fitter(lambda q: std_normal_logpdf_sum(q),
                                 log_target, nsteps=60)
+    smc_sample(log_target, jax.random.PRNGKey(9), dim=2,
+               num_particles=num_particles, fit_transport=fit)  # warm
     t0 = time.time()
     parts, lw, logz, infos = smc_sample(
         log_target, jax.random.PRNGKey(0), dim=2,
@@ -94,12 +138,14 @@ def bench_transport(num_particles=65536):
 
 def main():
     pps_2d = bench_2d()
+    ladder_saving = bench_ladder_modes()
     pps_100d = bench_100d()
     temps_t = bench_transport()
     print(json.dumps({
         "smc_2d_particle_temps_per_s": round(pps_2d),
         "smc_100d_particle_temps_per_s": round(pps_100d),
         "smc_transport_temps": temps_t,
+        "smc_ladder_in_graph_saving_ms": round(ladder_saving * 1e3, 1),
     }))
 
 

@@ -149,11 +149,12 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
     """Sample an unnormalized target density, end to end.
 
     ``logdensity_fn``: per-sample target, (dim,) -> scalar (any jittable
-    function). ``method``: 'nuts' | 'hmc' | 'chees' | 'smc'. (Targets
-    expressible exactly as a fusible whitening chain — warped-Gaussian
-    families — can instead use ``mcmc.fused_flow_hmc_sample``, the
-    fused-leapfrog Pallas path; it hardcodes the std-normal base, so it
-    does NOT apply to arbitrary ``logdensity_fn``.)
+    function). ``method``: 'nuts' | 'hmc' | 'chees' | 'smc'. Targets
+    declared as ``mcmc.FlowPushforwardTarget`` (an exact pushforward of a
+    diagonal-Gaussian base through a fusible chain — warped-Gaussian
+    families) auto-route ``method='hmc'`` to the fused-leapfrog Pallas
+    kernel: trajectories integrate VMEM-resident, no VI fit needed (the
+    declared chain is the exact transport).
 
     Preconditioning: ``flow`` (a whitened->data bijector, e.g. from
     ``train.optimize_whitening`` inverted or ``train.optimize_elbo``) is
@@ -197,6 +198,28 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
     key, k_fit, k_sample = jax.random.split(jax.random.PRNGKey(0)
                                             if key is None else key, 3)
     axis = mesh.axis_names[0] if mesh is not None else "chains"
+
+    # Declared-structure fast path (VERDICT r2 next #4): a target declared
+    # as an exact flow pushforward with a fusible whitening chain needs no
+    # VI preconditioner (the chain IS the exact transport) and its HMC
+    # trajectories run in the fused-leapfrog Pallas kernel, VMEM-resident.
+    from .mcmc.logdensity import FlowPushforwardTarget
+    if (method == "hmc" and isinstance(logdensity_fn, FlowPushforwardTarget)
+            and flow is None and data is None and mesh is None
+            and logdensity_fn.fused_kernel_available(dim, dtype)):
+        from .mcmc.fused_hmc import fused_flow_hmc_sample
+        # The kernel samples q with density N(whiten(q)) + ladj_whiten(q)
+        # == logdensity_fn(q): draws land directly in DATA space.
+        draws, _final, stats = fused_flow_hmc_sample(
+            logdensity_fn.whiten, k_sample, dim=dim,
+            num_chains=num_chains, num_warmup=num_warmup,
+            num_samples=num_samples, dtype=dtype,
+            base_mean=logdensity_fn.base_mean,
+            base_var=logdensity_fn.base_var, **sampler_kw)
+        diagnostics = summarize_draws(draws, stats)
+        return InferenceResult(draws=draws, diagnostics=diagnostics,
+                               stats=stats,
+                               flow=logdensity_fn.transport)
 
     used_flow = flow
     if used_flow is None and data is not None and precondition is not None:

@@ -1,6 +1,7 @@
 from .hmc import HMCState, HMCInfo, hmc_kernel, init_state, leapfrog
 from .nuts import NUTSInfo, nuts_kernel
-from .logdensity import flow_preconditioned, PreconditionedTarget
+from .logdensity import (flow_preconditioned, PreconditionedTarget,
+                         FlowPushforwardTarget)
 from .sample import sample, window_adaptation, run_chains, WarmupResult
 from .adaptation import (
     da_init, da_update, welford_init, welford_update, welford_update_batch,
@@ -23,7 +24,7 @@ __all__ = [
     "sample", "window_adaptation", "run_chains", "WarmupResult",
     "da_init", "da_update", "welford_init", "welford_update",
     "welford_update_batch", "welford_variance", "build_schedule",
-    "fused_flow_hmc_sample", "FusedHMCStats",
+    "fused_flow_hmc_sample", "FusedHMCStats", "FlowPushforwardTarget",
     "chees_sample", "chees_warmup", "run_chains_chees",
     "hmc_proposal_kernel", "ChEESWarmupResult", "ChEESSampleStats",
     "ess", "ess_per_dim", "split_rhat", "split_rhat_per_dim", "bfmi",

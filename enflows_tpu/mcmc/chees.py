@@ -244,7 +244,8 @@ def chees_warmup(logdensity_fn: Callable, initial_states: HMCState, key,
     carry0 = (initial_states, da_init(initial_step_size, dtype), adapt0,
               welford_init(dim, dtype), jnp.ones(dim, dtype))
     xs = (jnp.arange(num_warmup), jitter, in_slow, window_end)
-    (states, da, adapt, _, inv_mass), _ = lax.scan(step, carry0, xs)
+    with jax.named_scope("enflows.mcmc.chees_warmup"):
+        (states, da, adapt, _, inv_mass), _ = lax.scan(step, carry0, xs)
     return ChEESWarmupResult(states=states,
                              step_size=jnp.exp(da.log_step_avg),
                              trajectory_length=jnp.exp(adapt.log_h),
@@ -286,8 +287,9 @@ def run_chains_chees(logdensity_fn: Callable, states: HMCState, key,
         return states, (states.q, info.accept_prob, info.divergent,
                         num_steps, info.energy)
 
-    states, (qs, acc, div, nsteps, energy) = lax.scan(
-        step, states, (jnp.arange(num_samples), jitter))
+    with jax.named_scope("enflows.mcmc.chees_sampling"):
+        states, (qs, acc, div, nsteps, energy) = lax.scan(
+            step, states, (jnp.arange(num_samples), jitter))
     stats = ChEESSampleStats(accept_prob=acc, divergent=div,
                              num_steps=nsteps, step_size=step_size,
                              trajectory_length=trajectory_length,

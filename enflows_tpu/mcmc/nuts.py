@@ -310,7 +310,8 @@ def nuts_kernel(logdensity_fn: Callable, max_depth: int = 10,
                 sum_leaves=c["sum_leaves"] + sub["n"].astype(dtype),
             )
 
-        out = lax.while_loop(cond, body, init)
+        with jax.named_scope("enflows.mcmc.nuts_transition"):
+            out = lax.while_loop(cond, body, init)
 
         new_state = HMCState(q=out["prop_q"], logp=out["prop_logp"],
                              grad=out["prop_grad"])

@@ -46,9 +46,15 @@ _LOG_2PI = 1.8378770664093453
 _TILE_ROWS_LF = 256     # bwd-sweep stage inputs stay tile-resident
 
 
-def _chain_fwd_bwd(stage_types, nparams_per_stage, prefs, t, valid):
+def _chain_fwd_bwd(stage_types, nparams_per_stage, prefs, t, valid,
+                   mu, iv):
     """Forward through the chain storing stage inputs, then the adjoint
     sweep with the analytic preconditioned-normal cotangents.
+
+    ``mu``/``iv``: (1, 128) diagonal-Gaussian base mean / inverse-variance
+    pattern rows (0 / 1 for the standard normal — generalized round 3,
+    VERDICT r2 next #4: the base is free in-kernel, two fused multiply-
+    adds per element).
 
     Returns (gx, elem_acc, y): input-gradient tile, per-element ladj
     accumulator (None if all-orthogonal), final output tile.
@@ -71,8 +77,8 @@ def _chain_fwd_bwd(stage_types, nparams_per_stage, prefs, t, valid):
             acc = elem if acc is None else acc + elem
     y = t
 
-    # d logp / d y = -y (std-normal);  d logp / d elem-ladj = +1.
-    cy = -y * valid
+    # d logp / d y = -(y - mu)/var;  d logp / d elem-ladj = +1.
+    cy = -(y - mu) * iv * valid
     ce = valid
     for k in range(len(stage_types) - 1, -1, -1):
         st = stage_types[k]
@@ -98,7 +104,8 @@ def _chain_fwd_bwd(stage_types, nparams_per_stage, prefs, t, valid):
 
 def _build_leapfrog_kernel(stage_types, nparams_per_stage, dim, dp,
                            num_steps):
-    def kernel(q_ref, p_ref, seg_ref, eps_ref, im_ref, *refs):
+    def kernel(q_ref, p_ref, seg_ref, eps_ref, im_ref, mu_ref, iv_ref,
+               *refs):
         n_params = sum(nparams_per_stage)
         prefs = refs[:n_params]
         qo_ref, po_ref, lp0_ref, lpL_ref = refs[n_params:]
@@ -107,9 +114,14 @@ def _build_leapfrog_kernel(stage_types, nparams_per_stage, dim, dp,
         valid = (cols % dp < dim).astype(jnp.float32)
         eps = eps_ref[0, 0]
         im = im_ref[:]                       # (1, 128) inv-mass pattern
+        mu = mu_ref[:]                       # (1, 128) base-mean pattern
+        iv = iv_ref[:]                       # (1, 128) base inv-variance
+        # log var row (once per tile; 128 logs — noise).
+        lv = -jnp.log(iv)
 
         def logp_parts(acc, y):
-            lp_elem = -(y * y + _LOG_2PI) * 0.5
+            d = y - mu
+            lp_elem = -(d * d * iv + _LOG_2PI + lv) * 0.5
             tot = lp_elem if acc is None else lp_elem + acc
             return jax.lax.dot(tot * valid, seg_ref[:],
                                precision=jax.lax.Precision.HIGHEST,
@@ -118,7 +130,7 @@ def _build_leapfrog_kernel(stage_types, nparams_per_stage, dim, dp,
         q = q_ref[:]
         p = p_ref[:]
         g, acc0, y0 = _chain_fwd_bwd(stage_types, nparams_per_stage,
-                                     prefs, q, valid)
+                                     prefs, q, valid, mu, iv)
         lp0_ref[:] = logp_parts(acc0, y0)
 
         def step(_, carry):
@@ -126,14 +138,14 @@ def _build_leapfrog_kernel(stage_types, nparams_per_stage, dim, dp,
             p = p + 0.5 * eps * g
             q = q + eps * p * im
             g, _, _ = _chain_fwd_bwd(stage_types, nparams_per_stage,
-                                     prefs, q, valid)
+                                     prefs, q, valid, mu, iv)
             p = p + 0.5 * eps * g
             return q, p, g
 
         q, p, g = jax.lax.fori_loop(0, num_steps, step, (q, p, g))
 
         _, accL, yL = _chain_fwd_bwd(stage_types, nparams_per_stage,
-                                     prefs, q, valid)
+                                     prefs, q, valid, mu, iv)
         lpL_ref[:] = logp_parts(accL, yL)
         qo_ref[:] = q
         po_ref[:] = p
@@ -143,7 +155,7 @@ def _build_leapfrog_kernel(stage_types, nparams_per_stage, dim, dp,
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _fused_leapfrog_impl(static, q_flat, p_flat, eps, inv_mass_row,
-                         flat_params):
+                         mu_row, iv_row, flat_params):
     stage_types, nparams, dim, dp, num_steps = static
     dtype = q_flat.dtype
     spd = 128 // dp
@@ -170,6 +182,10 @@ def _fused_leapfrog_impl(static, q_flat, p_flat, eps, inv_mass_row,
         pl.BlockSpec((128, spd), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 128), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -200,7 +216,7 @@ def _fused_leapfrog_impl(static, q_flat, p_flat, eps, inv_mass_row,
             jax.ShapeDtypeStruct((rows_padded, spd), jnp.float32),
         ),
         interpret=jax.default_backend() == "cpu",
-    )(qt, pt, seg, eps2d, inv_mass_row, *flat_params)
+    )(qt, pt, seg, eps2d, inv_mass_row, mu_row, iv_row, *flat_params)
 
     q_out = q2.reshape(-1)[:total]
     p_out = p2.reshape(-1)[:total]
@@ -210,14 +226,20 @@ def _fused_leapfrog_impl(static, q_flat, p_flat, eps, inv_mass_row,
 
 def fused_leapfrog(chain: Bijector, q: jax.Array, p: jax.Array,
                    step_size, num_steps: int,
-                   inv_mass_diag: jax.Array | None = None):
+                   inv_mass_diag: jax.Array | None = None,
+                   base_mean: jax.Array | None = None,
+                   base_var: jax.Array | None = None):
     """L leapfrog steps of ALL chains in one kernel launch.
 
     chain: whitened->data bijector f (fusible; see elementwise.py).
     q, p: (n_chains, dim) positions/momenta in the whitened space.
-    Returns (q_L, p_L, logp_0, logp_L) with logp(q) = sum std-normal
-    logpdf(f(q)) + ladj_f(q) — the flow-preconditioned log density
-    (mcmc.logdensity.flow_preconditioned semantics, constants included).
+    Returns (q_L, p_L, logp_0, logp_L) with logp(q) = sum diag-normal
+    logpdf(f(q); base_mean, base_var) + ladj_f(q) — the
+    flow-preconditioned log density (mcmc.logdensity.flow_preconditioned
+    semantics, constants included). ``base_mean``/``base_var`` (scalar or
+    (dim,)) generalize the base from the hardcoded N(0, I) to any
+    diagonal Gaussian at zero kernel cost (two extra fused
+    multiply-adds/element — VERDICT r2 next #4).
     """
     n, dim = q.shape
     if not is_fusible_chain(chain, dim, q.dtype):
@@ -225,10 +247,21 @@ def fused_leapfrog(chain: Bijector, q: jax.Array, p: jax.Array,
     dp = event_pad(dim)
     static_types, nparams, flat_params = _chain_static_and_params(
         chain, dim, q.dtype, dp)
+    idx = np.minimum(np.arange(128) % dp, dim - 1)
+
+    def _row(v, default):
+        if v is None:
+            return jnp.full((1, 128), default, jnp.float32)
+        v = jnp.asarray(v, jnp.float32)
+        if v.ndim == 0:
+            return jnp.full((1, 128), v, jnp.float32)
+        return v[idx][None, :]
+
+    mu_row = _row(base_mean, 0.0)
+    iv_row = 1.0 / _row(base_var, 1.0)
     if inv_mass_diag is None:
         im_row = jnp.ones((1, 128), jnp.float32)
     else:
-        idx = np.minimum(np.arange(128) % dp, dim - 1)
         im_row = jnp.asarray(inv_mass_diag, jnp.float32)[idx][None, :]
     q_flat = pad_packed(q.reshape(-1), dim)
     p_flat = pad_packed(p.reshape(-1), dim)
@@ -240,19 +273,24 @@ def fused_leapfrog(chain: Bijector, q: jax.Array, p: jax.Array,
     with jax.named_scope("enflows.pallas.fused_leapfrog"):
         q2, p2, lp0, lpL = _fused_leapfrog_impl(
             (static_types, nparams, dim, dp, num_steps),
-            q_flat, p_flat, step_size, im_row, flat_params)
+            q_flat, p_flat, step_size, im_row, mu_row, iv_row,
+            flat_params)
     return (unpad_packed(q2, dim).reshape(n, dim),
             unpad_packed(p2, dim).reshape(n, dim), lp0, lpL)
 
 
 def fused_flow_hmc_step(chain: Bijector, key, q: jax.Array,
                         step_size, num_steps: int,
-                        inv_mass_diag: jax.Array | None = None):
+                        inv_mass_diag: jax.Array | None = None,
+                        base_mean: jax.Array | None = None,
+                        base_var: jax.Array | None = None):
     """One full vectorized HMC transition over all chains via the fused
     trajectory kernel: momentum refresh, L leapfrog steps, MH correction.
 
     Returns (q_new, logp_new (n,), accept_prob (n,), accepted (n,)).
-    Identity mass by default (the whitened-space geometry).
+    Identity mass by default (the whitened-space geometry);
+    ``base_mean``/``base_var`` select a diagonal-Gaussian base (see
+    ``fused_leapfrog``).
     """
     n, dim = q.shape
     dtype = q.dtype
@@ -265,7 +303,8 @@ def fused_flow_hmc_step(chain: Bijector, key, q: jax.Array,
         p0 = jax.random.normal(k_mom, (n, dim), dtype) * std
         ke = lambda p: 0.5 * jnp.sum(p * p * inv_mass_diag, axis=-1)
     q1, p1, lp0, lp1 = fused_leapfrog(chain, q, p0, step_size, num_steps,
-                                      inv_mass_diag)
+                                      inv_mass_diag, base_mean=base_mean,
+                                      base_var=base_var)
     h0 = -lp0 + ke(p0)
     h1 = -lp1 + ke(p1)
     delta = h0 - h1

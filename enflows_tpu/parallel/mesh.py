@@ -26,8 +26,13 @@ def distributed_init(coordinator_address: Optional[str] = None,
 
     On TPU pods the arguments are auto-detected from the environment;
     explicit values support manual/CPU-fleet bring-up.
+
+    NOTE the already-initialized guard must NOT touch the backend:
+    ``jax.process_count()`` here would initialize XLA and make the
+    subsequent ``jax.distributed.initialize`` raise — found the first time
+    this path ran in real multiple processes (tests/test_multiprocess.py).
     """
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return  # already initialized
     env_says_multi = any(k in os.environ for k in
                          ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS"))

@@ -20,3 +20,7 @@ import jax  # noqa: E402
 # the config level, which wins as long as no backend is initialized yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # high-precision oracles in tests
+# No persistent-cache AOT hits: a cached executable compiled with different
+# machine features perturbs f64 results by ~1 ULP, breaking the bit-for-bit
+# multi-process/single-process equivalence gates (test_multiprocess.py).
+jax.config.update("jax_enable_compilation_cache", False)

@@ -193,3 +193,61 @@ def test_infer_smc_logz():
     np.testing.assert_allclose(d["log_z"], true_logz, atol=0.1)
     assert d["weight_ess"] > 1000
     assert res.draws.shape == (4096, 2)
+
+
+def test_infer_routes_pushforward_target_to_fused_kernel(tmp_path):
+    """VERDICT r2 next #4 done-condition: infer() on a warped-Gaussian
+    target declared as FlowPushforwardTarget runs the fused-leapfrog
+    Pallas path (trace shows enflows.pallas.fused_leapfrog) and gets the
+    moments right."""
+    import glob
+    import gzip
+    import os
+    from enflows_tpu.mcmc import FlowPushforwardTarget
+    from enflows_tpu.utils import trace
+    import enflows_tpu as ef
+
+    d = 2
+    v = lambda val: jnp.full((d,), val, jnp.float32)
+    transport = ef.compose(
+        ef.ScaleShift(a=jnp.asarray([2.0, 0.5], jnp.float32),
+                      b=jnp.asarray([1.0, -1.0], jnp.float32)),
+        ef.invert(ef.Johnson(gamma=v(0.0), delta=v(5.0), xi=v(0.0),
+                             lam=v(5.0))),
+    )
+    mu = jnp.asarray([0.3, -0.2], jnp.float32)
+    var = jnp.asarray([1.2, 0.8], jnp.float32)
+    target = FlowPushforwardTarget(transport, base_mean=mu, base_var=var)
+    assert target.fused_kernel_available(d)
+
+    logdir = str(tmp_path / "prof")
+    with trace(logdir):
+        res = ef.infer(target, dim=d, key=jax.random.PRNGKey(0),
+                    method="hmc", num_chains=64, num_warmup=150,
+                    num_samples=300, dtype=jnp.float32)
+        jax.block_until_ready(res.draws)
+    blob = b""
+    for p in glob.glob(os.path.join(logdir, "**", "*"), recursive=True):
+        if os.path.isfile(p):
+            raw = open(p, "rb").read()
+            if p.endswith(".gz"):
+                try:
+                    raw = gzip.decompress(raw)
+                except OSError:
+                    pass
+            blob += raw
+    assert b"enflows.pallas.fused_leapfrog" in blob, \
+        "fused path was not dispatched"
+
+    # Moment gate: X = T(Z), Z ~ N(mu, var). Monte-Carlo truth:
+    k = jax.random.PRNGKey(9)
+    z = mu + jnp.sqrt(var) * jax.random.normal(k, (200_000, d),
+                                               jnp.float32)
+    xs = transport.forward(z)
+    truth_mean = np.asarray(xs).mean(0)
+    truth_sd = np.asarray(xs).std(0)
+    got = res.draws.reshape(-1, d)
+    np.testing.assert_allclose(np.asarray(got).mean(0), truth_mean,
+                               atol=0.1)
+    np.testing.assert_allclose(np.asarray(got).std(0), truth_sd,
+                               rtol=0.1)

@@ -301,3 +301,56 @@ def test_ring_path_memory_is_local(mesh):
         assert total <= 4 * n_shards, \
             f"O(n_global) all-gather in ring path: {m.group(0)[:80]}"
     assert "collective-permute" in hlo  # the ring is real
+
+
+def test_sharded_in_graph_ladder_matches_host_loop(mesh):
+    """VERDICT r2 #5, sharded: the one-jit while_loop ladder (shard_map
+    inside lax.while_loop) must follow the Python ladder's exact same-key
+    trajectory."""
+    mu = jnp.asarray([0.5, 1.5], DT)
+
+    def log_target(q):
+        d = q - mu
+        return -0.5 * jnp.sum(d * d) / 0.25
+
+    outs = {}
+    for mode in (True, False):
+        parts, lw, logz, infos = smc_sample_sharded(
+            log_target, jax.random.PRNGKey(11), mesh, dim=2,
+            num_particles=2048, in_graph=mode, dtype=DT)
+        outs[mode] = (parts, lw, logz, infos)
+    p1, lw1, lz1, inf1 = outs[True]
+    p2, lw2, lz2, inf2 = outs[False]
+    assert len(inf1) == len(inf2)
+    np.testing.assert_allclose([float(i.beta) for i in inf1],
+                               [float(i.beta) for i in inf2], rtol=1e-12)
+    np.testing.assert_allclose(float(lz1), float(lz2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lw1), np.asarray(lw2),
+                               atol=1e-9)
+
+
+def test_build_sharded_smc_step_no_retrace(mesh):
+    """VERDICT r2 #7: the explicit sharded-step builder compiles once
+    under the caller's control; reuse across smc_sample_sharded calls
+    with fresh-closure targets never retraces (jit-cache-size assert)."""
+    from enflows_tpu.parallel import build_sharded_smc_step
+
+    def fresh_target():
+        return lambda q: -0.5 * jnp.sum((q - 1.0) ** 2)
+
+    from enflows_tpu.distributions.base import std_normal_logpdf_sum
+    step = build_sharded_smc_step(std_normal_logpdf_sum, fresh_target(),
+                                  mesh)
+    sizes = []
+    for seed in range(2):
+        parts, lw, logz, infos = smc_sample_sharded(
+            fresh_target(), jax.random.PRNGKey(seed), mesh, dim=2,
+            num_particles=2048, step=step, dtype=DT)
+        true_logz = 2 * 0.5 * np.log(2 * np.pi)
+        assert abs(float(logz) - true_logz) < 0.15
+        sizes.append(step._cache_size())
+    # One compile total: the second call (fresh closure identity) hits
+    # the same compiled step + ladder.
+    assert sizes[1] == sizes[0], sizes
+    assert sizes[0] <= 1, sizes

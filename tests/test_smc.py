@@ -169,3 +169,52 @@ def test_build_smc_kernels_explicit_reuse():
     true_logz = 2 * 0.5 * np.log(2 * np.pi)
     for lz in results:
         assert abs(lz - true_logz) < 0.1
+
+
+def test_in_graph_ladder_matches_host_loop():
+    """VERDICT r2 #5: the one-jit `lax.while_loop` ladder must follow the
+    Python ladder's exact same-key trajectory (identical key stream and
+    math; f64 keeps fusion-order noise below tolerance)."""
+
+    def log_target(q):
+        d = q - jnp.asarray([1.0, -2.0], DT)
+        return -0.5 * jnp.sum(d * d) / 0.25
+
+    outs = {}
+    for mode in (True, False):
+        parts, lw, logz, infos = smc_sample(
+            log_target, jax.random.PRNGKey(7), dim=2,
+            num_particles=2048, in_graph=mode, dtype=DT)
+        outs[mode] = (parts, lw, logz, infos)
+    p1, lw1, lz1, inf1 = outs[True]
+    p2, lw2, lz2, inf2 = outs[False]
+    assert len(inf1) == len(inf2)
+    np.testing.assert_allclose([float(i.beta) for i in inf1],
+                               [float(i.beta) for i in inf2], rtol=1e-12)
+    np.testing.assert_allclose(float(lz1), float(lz2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lw1), np.asarray(lw2),
+                               atol=1e-9)
+
+
+def test_in_graph_ladder_with_transport_matches_host_loop():
+    from enflows_tpu.smc import make_transport_fitter
+
+    def log_target(q):
+        d = q - jnp.asarray([2.0, -1.0], DT)
+        return -0.5 * jnp.sum(d * d) / 0.5
+
+    fit = make_transport_fitter(std_normal_logpdf_sum, log_target,
+                                nsteps=40)
+    outs = {}
+    for mode in (True, False):
+        parts, lw, logz, infos = smc_sample(
+            log_target, jax.random.PRNGKey(9), dim=2,
+            num_particles=2048, fit_transport=fit, in_graph=mode,
+            dtype=DT)
+        outs[mode] = (parts, lw, logz, infos)
+    p1, _, lz1, inf1 = outs[True]
+    p2, _, lz2, inf2 = outs[False]
+    assert len(inf1) == len(inf2)
+    np.testing.assert_allclose(float(lz1), float(lz2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-9)
