@@ -133,11 +133,13 @@ def main():
             jnp.log(jnp.abs(acc) + 1.0)
         y_ref[:] = acc
 
-    # --- real stage chain variants
+    # --- real stage chain variants. seg (128, 64) rides as the LAST
+    # extra input when used (pallas kernels may not capture constants).
     def mk_chain(with_hh, with_seg):
         def k(x_ref, *refs):
             y_ref = refs[-1]
-            prefs = refs[:-1]
+            prefs = refs[:-1 - (1 if with_seg else 0)]
+            seg_ref = refs[-2] if with_seg else None
             t = x_ref[:]
             acc = None
             i = 0
@@ -155,7 +157,7 @@ def main():
                 acc = elem if acc is None else acc + elem
             if with_seg:
                 red = jax.lax.dot(
-                    acc, seg_big,
+                    acc, seg_ref[:],
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 # fold back so output shape matches (cost negligible)
@@ -168,18 +170,19 @@ def main():
     seg_big = _seg_matrix(2, 2)      # (128, 64)
 
     variants = [
-        ("copy", lambda u: pallas_map(k_copy, u) * 0.999, ()),
-        ("exp26", lambda u: pallas_map(mk_exps(26), u) * 0.999, ()),
-        ("exp26i", lambda u: pallas_map(k_exps_indep, u) * 0.01, ()),
-        ("opmix", lambda u: pallas_map(k_opmix, u) * 0.01, ()),
+        ("copy", lambda u: pallas_map(k_copy, u) * 0.999),
+        ("exp26", lambda u: pallas_map(mk_exps(26), u) * 0.999),
+        ("exp26i", lambda u: pallas_map(k_exps_indep, u) * 0.01),
+        ("opmix", lambda u: pallas_map(k_opmix, u) * 0.01),
         ("stages", lambda u: pallas_map(mk_chain(False, False), u,
-                                        flat_params) * 0.03, ()),
+                                        flat_params) * 0.03),
         ("stages+hh", lambda u: pallas_map(mk_chain(True, False), u,
-                                           flat_params) * 0.03, ()),
+                                           flat_params) * 0.03),
         ("full", lambda u: pallas_map(mk_chain(True, True), u,
-                                      flat_params) * 0.03, ()),
+                                      tuple(flat_params) + (seg_big,))
+         * 0.03),
     ]
-    for name, body, _ in variants:
+    for name, body in variants:
         dt = slope(body, x)
         print(f"{name:10s} {dt*1e3:7.3f} ms  "
               f"({x.size/dt/1e9:6.2f} G elem/s)", flush=True)

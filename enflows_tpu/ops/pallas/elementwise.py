@@ -149,25 +149,41 @@ def _apply_center_contract(t, a, b, c):
 
 
 def _apply_center_stretch(t, a, b, c):
-    # Log-domain inverse (see bijectors.center_stretch), ladj at output.
-    m = jnp.abs(b * t)
-    # Clamp |b x| away from 0: at m == 0 log1p(-exp(-m)) is -inf and
-    # its gradient an artificial 0*inf NaN, though the function is
-    # smooth there (1e-6 is below f32 noise for the result).
-    m = jnp.maximum(m, 1e-6)
+    # Log-domain inverse (see bijectors.center_stretch), ladj at output —
+    # round-3 single-exp derivation (VERDICT r2 next #2). From the
+    # quadratic-root form, with em = exp(-|bt|):
+    #
+    #   log_s = |bt| + ab - log2 + log((1-em) + sqrt((1-em)^2
+    #                                               + 4 e^{-2ab} em))
+    #   y     = c + sign(t) * log_s / b
+    #
+    # (identical to the previous 2x-logaddexp chain, but every inner
+    # exp/log collapses algebraically: e^{log1p(-em)} = 1-em and
+    # e^{logaddexp(...)/2} = the sqrt — 1 exp + 1 log replace 5 exp +
+    # 4 log, and the (1-em)+sqrt(...) argument is strictly positive so
+    # the old m-clamp singularity guard is unnecessary). The ladj at the
+    # output, elem = -log(sigmoid(w-ab) + sigmoid(-w-ab)) with
+    # w = |b(y-c)| = log_s, reuses em through A*e^{-w} =
+    # 2 em/((1-em)+sqrt(...)) — the e^{ab} factors cancel, so nothing
+    # overflows for large ab and NO additional transcendental is spent
+    # (the second sigmoid's e^{2ab} row factor is a (1,128) constant).
     ab = a * b
+    m = jnp.abs(b * t)
+    # Keep m away from 0: denom below is ~2(1-em) when the c1 row
+    # underflows (ab > 44), and 1-em -> 0 at m = 0 would give log(0)
+    # in that corner; 1e-6 is below f32 noise for the result.
+    m = jnp.maximum(m, 1e-6)
     em = jnp.exp(-m)
-    log_a = jnp.log1p(-em)
-    log_b = _LOG4 - 2.0 * ab - m
-    inner = jnp.logaddexp(2.0 * log_a, log_b)
-    log_s = m + ab - _LOG2 + jnp.logaddexp(log_a, 0.5 * inner)
+    one_m = 1.0 - em
+    c1 = 4.0 * jnp.exp(-2.0 * ab)            # (1,128) row constant
+    r = jnp.sqrt(one_m * one_m + c1 * em)
+    denom = one_m + r
+    log_s = m + ab - _LOG2 + jnp.log(denom)
     y = c + jnp.sign(t) * log_s / b
-    yu = y - c
-    u1 = b * (yu - a)
-    u2 = b * (yu + a)
-    e1 = jnp.exp(-jnp.abs(u1))
-    e2 = jnp.exp(-jnp.abs(u2))
-    elem = -jnp.log(_sigmoid_from_e(u1, e1) + _sigmoid_from_e(-u2, e2))
+    ae = 2.0 * em / denom                    # = e^{ab} * e^{-log_s}
+    a2 = jnp.exp(2.0 * ab)                   # (1,128) row constant
+    s_sum = 1.0 / (1.0 + ae) + ae / (ae + a2)
+    elem = -jnp.log(s_sum)
     return y, elem
 
 
@@ -296,16 +312,26 @@ def _chain_static_and_params(chain: Bijector, dim: int, dtype,
                              dp: int | None = None):
     dp = dim if dp is None else dp
     stages = chain.stages if isinstance(chain, Chain) else (chain,)
+    # When the chain's parameters are CONCRETE (inference / a constant
+    # flow closed over by a jitted loop body), evaluate the pattern-row
+    # gathers and the Householder block-diagonal product at TRACE time so
+    # they become jit constants. Without this, the ~30 small prep ops land
+    # inside the caller's loop body and XLA does not hoist them across the
+    # pallas_call: measured 0.5 ms/iteration on the 16M-sample headline —
+    # 30% of the total (bench_kernel_anatomy.py, round 3). Tracer params
+    # (training) trace through unchanged inside the same context.
     stage_types, nparams, flat_params = [], [], []
-    for s in stages:
-        stage_types.append(type(s))
-        if isinstance(s, Householder):
-            nparams.append(1)
-            flat_params.append(_householder_blockdiag(s, dim, dtype, dp))
-        else:
-            ps = _stage_params(s)
-            nparams.append(len(ps))
-            flat_params.extend(_pattern_rows(ps, dim, dtype, dp))
+    with jax.ensure_compile_time_eval():
+        for s in stages:
+            stage_types.append(type(s))
+            if isinstance(s, Householder):
+                nparams.append(1)
+                flat_params.append(
+                    _householder_blockdiag(s, dim, dtype, dp))
+            else:
+                ps = _stage_params(s)
+                nparams.append(len(ps))
+                flat_params.extend(_pattern_rows(ps, dim, dtype, dp))
     return tuple(stage_types), tuple(nparams), tuple(flat_params)
 
 
@@ -413,13 +439,30 @@ def _fused_packed_impl(static, x_flat, flat_params):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_packed_params_op(static, x_flat, flat_params):
+    """static = (stage_types, nparams, dim, dp); x_flat is PADDED packed
+    (n*dp,); flat_params are the pattern rows / block-diagonals from
+    ``_chain_static_and_params``.
+
+    The custom_vjp boundary sits BELOW the parameter construction on
+    purpose: the construction is plain differentiable jnp at the call
+    site, so (a) AD maps the kernel's pattern-row cotangents back onto
+    chain leaves with no hand-written plumbing, and (b) when the chain is
+    concrete (inference loops), ``ensure_compile_time_eval`` in
+    ``_chain_static_and_params`` turns the ~30 prep ops into jit
+    constants instead of per-iteration work — measured 0.5 ms/iteration
+    on the 16M headline before this split (bench_kernel_anatomy.py).
+    """
+    return _fused_packed_impl(static, x_flat, flat_params)
+
+
 def _fused_packed_op(dimdp, chain, x_flat):
-    """dimdp = (dim, dp) static; x_flat is PADDED packed (n*dp,)."""
+    """Compatibility wrapper: (dim, dp) + chain -> fused (y, ladj)."""
     dim, dp = dimdp
     static_types, nparams, flat_params = _chain_static_and_params(
         chain, dim, x_flat.dtype, dp)
-    return _fused_packed_impl((static_types, nparams, dim, dp), x_flat,
-                              flat_params)
+    return _fused_packed_params_op((static_types, nparams, dim, dp),
+                                   x_flat, flat_params)
 
 
 def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
@@ -823,8 +866,9 @@ def _packed_jnp_forward(stage_types, nparams, dim, dp, x_flat, flat_params):
     return y_flat, ladj
 
 
-def _fused_packed_fwd(dimdp, chain, x_flat):
-    return _fused_packed_op(dimdp, chain, x_flat), (chain, x_flat)
+def _fused_packed_fwd(static, x_flat, flat_params):
+    return (_fused_packed_params_op(static, x_flat, flat_params),
+            (x_flat, flat_params))
 
 
 # When True (TPU default), the backward also runs as a fused Pallas kernel;
@@ -833,41 +877,29 @@ def _fused_packed_fwd(dimdp, chain, x_flat):
 _PALLAS_BACKWARD = True
 
 
-def _fused_packed_bwd(dimdp, res, g):
-    dim, dp = dimdp
-    chain, x_flat = res
+def _fused_packed_bwd(static, res, g):
+    stage_types, nparams, dim, dp = static
+    x_flat, flat_params = res
     gy_flat, gladj = g
 
     if _PALLAS_BACKWARD == "force" or (
             _PALLAS_BACKWARD and jax.default_backend() == "tpu"):
-        static_types, nparams, flat_params = _chain_static_and_params(
-            chain, dim, x_flat.dtype, dp)
         gx, pattern_grads = _fused_packed_bwd_impl(
-            (static_types, nparams, dim, dp), x_flat, flat_params,
-            gy_flat, gladj)
-        # Pull pattern-row/blockdiag grads back onto the chain leaves by
-        # vjp-ing the (differentiable) pattern construction.
-        _, vjp_params = jax.vjp(
-            lambda c: _chain_static_and_params(c, dim, x_flat.dtype,
-                                               dp)[2],
-            chain)
-        gc, = vjp_params(tuple(
+            static, x_flat, flat_params, gy_flat, gladj)
+        return gx.astype(x_flat.dtype), tuple(
             pg.astype(fp.dtype)
-            for pg, fp in zip(pattern_grads, flat_params)))
-        return gc, gx.astype(x_flat.dtype)
+            for pg, fp in zip(pattern_grads, flat_params))
 
-    def ref(c, xf):
-        stage_types, nparams, flat_params = _chain_static_and_params(
-            c, dim, xf.dtype, dp)
+    def ref(xf, fps):
         return _packed_jnp_forward(stage_types, nparams, dim, dp, xf,
-                                   flat_params)
+                                   fps)
 
-    _, vjp = jax.vjp(ref, chain, x_flat)
-    gc, gx = vjp(g)
-    return gc, gx
+    _, vjp = jax.vjp(ref, x_flat, flat_params)
+    gx, gfp = vjp(g)
+    return gx, gfp
 
 
-_fused_packed_op.defvjp(_fused_packed_fwd, _fused_packed_bwd)
+_fused_packed_params_op.defvjp(_fused_packed_fwd, _fused_packed_bwd)
 
 
 def fused_forward_and_ladj_packed(chain: Bijector, x_flat: jax.Array,

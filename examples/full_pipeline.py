@@ -11,6 +11,11 @@ target (nf_example_2d.jl ground truth):
 
 Run: python examples/full_pipeline.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import sys
 import time
 

@@ -9,6 +9,11 @@ quantile comparison here — no plotting dependency).
 
 Run: python examples/nf_example_1d.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import sys
 
 import jax

@@ -6,6 +6,11 @@ stages; validated by cov(f(X)) ≈ I (reference :36-38).
 
 Run: python examples/nf_example_2d.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import sys
 
 import jax

@@ -9,6 +9,11 @@ corrected form (see SURVEY.md §2a note on the reference's axis confusion).
 
 Run: python examples/nf_variational_1d.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import sys
 
 import jax

@@ -10,6 +10,11 @@ Three one-liners replace the hand-wired train/precondition/sample pipeline
 
 Run: python examples/one_call_infer.py
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

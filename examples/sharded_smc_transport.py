@@ -12,6 +12,11 @@ a 2D bimodal mixture — tempering + transports cross the density gap and
 the mode balance comes out ~50/50 with a calibrated log Z.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import os
 
 os.environ.setdefault("XLA_FLAGS",
                       "--xla_force_host_platform_device_count=8")
