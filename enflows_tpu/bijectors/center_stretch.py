@@ -53,17 +53,23 @@ def center_contract_ladj(x, a, b, c):
 
 
 def center_stretch(x, a, b, c):
-    """Log-domain closed-form inverse of center_contract (see module doc)."""
+    """Log-domain closed-form inverse of center_contract (see module doc).
+
+    Round-3 single-exp form: with em = e^{-m}, the quadratic root's
+    logaddexp chain collapses algebraically (e^{log1p(-em)} = 1 - em and
+    e^{logaddexp(...)/2} is a sqrt), leaving ONE exp and ONE log per
+    element instead of five of each — same values, same no-overflow
+    guarantee, and the (1-em)+sqrt(...) argument is strictly positive so
+    the old m-clamp singularity guard is only needed for the
+    c1-underflow corner (a*b > 44)."""
     m = jnp.abs(b * x)
-    # Clamp |b x| away from 0: at m == 0 log1p(-exp(-m)) is -inf and
-    # its gradient an artificial 0*inf NaN, though the function is
-    # smooth there (1e-6 is below f32 noise for the result).
     m = jnp.maximum(m, 1e-6)
     ab = a * b
-    log_a_term = jnp.log1p(-jnp.exp(-m))  # -inf at m == 0: fine in logaddexp
-    log_b_term = _LOG4 - 2.0 * ab - m
-    inner = jnp.logaddexp(2.0 * log_a_term, log_b_term)
-    log_s = m + ab - _LOG2 + jnp.logaddexp(log_a_term, 0.5 * inner)
+    em = jnp.exp(-m)
+    one_m = 1.0 - em
+    c1 = 4.0 * jnp.exp(-2.0 * ab)
+    r = jnp.sqrt(one_m * one_m + c1 * em)
+    log_s = m + ab - _LOG2 + jnp.log(one_m + r)
     return c + jnp.sign(x) * log_s / b
 
 
@@ -88,10 +94,25 @@ class CenterStretch(Bijector):
         return center_stretch(x, self.a, self.b, self.c)
 
     def forward_and_ladj(self, x):
-        y = self.forward(x)
-        # ladj(stretch, x) = -ladj(contract, y): convention #6.
-        neg_elem = center_contract_ladj(y, self.a, self.b, self.c)
-        return y, -sum_ladjs(jnp.broadcast_to(neg_elem, jnp.shape(y)))
+        # Same convention-#6 value as -contract_ladj(y) but computed by
+        # sharing the forward's em/denom intermediates (the e^{ab}
+        # factors cancel into ae = 2 em/denom), so the whole fwd+ladj is
+        # 1 exp + 2 log + 1 sqrt per element — the kernel's round-3
+        # derivation (ops/pallas/elementwise._apply_center_stretch).
+        m = jnp.maximum(jnp.abs(self.b * x), 1e-6)
+        ab = self.a * self.b
+        em = jnp.exp(-m)
+        one_m = 1.0 - em
+        c1 = 4.0 * jnp.exp(-2.0 * ab)
+        r = jnp.sqrt(one_m * one_m + c1 * em)
+        denom = one_m + r
+        log_s = m + ab - _LOG2 + jnp.log(denom)
+        y = self.c + jnp.sign(x) * log_s / self.b
+        ae = 2.0 * em / denom
+        a2 = jnp.exp(2.0 * ab)
+        s_sum = 1.0 / (1.0 + ae) + ae / (ae + a2)
+        elem = -jnp.log(s_sum)
+        return y, sum_ladjs(jnp.broadcast_to(elem, jnp.shape(y)))
 
     def inverse(self):
         return CenterContract(a=self.a, b=self.b, c=self.c)
