@@ -191,3 +191,31 @@ def test_multiprocess_dryrun_train_step(tmp_path):
     """Multi-process variant of dryrun_multichip: the full data-parallel
     train step compiles and runs on the cross-process mesh."""
     launch_workers("dryrun", str(tmp_path))
+
+
+def test_multiprocess_heartbeat_detects_dead_peer(tmp_path):
+    """End-to-end failure detection: with a peer process that joined the
+    runtime but never participates, process 0's heartbeat returns False
+    at its deadline instead of hanging in the dead psum."""
+    outdir = str(tmp_path)
+    port = _free_port()
+    env = _clean_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "heartbeat", f"localhost:{port}",
+             "2", str(pid), outdir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)
+    ]
+    try:
+        out, err = procs[0].communicate(timeout=240)
+        assert procs[0].returncode == 0, (
+            f"worker 0 exited {procs[0].returncode}\n"
+            f"{err.decode(errors='replace')[-3000:]}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert os.path.exists(os.path.join(outdir, "ok.p0"))
+    result = open(os.path.join(outdir, "heartbeat_result")).read()
+    assert result.startswith("detected_in="), result
