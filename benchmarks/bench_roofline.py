@@ -300,22 +300,21 @@ def main():
     dt_lf = slope_time(chain_lf, q0, p0, k_lo=L_LO, k_hi=L_HI,
                        repeats=8)
     lf_per_s = chains / dt_lf
-    # Per leapfrog step per chain: value_and_grad of q@P q = 1 matvec
-    # (2*d^2 flops) fwd + grad = P q reused -> AD does fwd ~2d^2 + bwd
-    # ~2d^2 = 4d^2 flops on the MXU.
-    flops = chains * 4 * d50 * d50
-    mxu_roof = 197e12 / 2 if jax.default_backend() == "tpu" else 1e12
+    # Per leapfrog step per chain: value_and_grad of q@P q — AD emits
+    # ~3 (chains, d) x (d, d) matmuls (fwd qP, bwd cotangent, reuse).
+    # ROUND-3 MODEL FIX: the widened L spread exposed that the scan
+    # state (3 arrays x 8192 x 50 f32 = 4.8 MB) is VMEM-RESIDENT — the
+    # round-2 "HBM round-trip per step" premise was wrong (it measured
+    # 465 M steps/s under RPC-jitter-limited spreads and called it 81%
+    # of an HBM roof that doesn't bind). The real binding resource is
+    # the MXU at f32-accumulation rate.
+    flops = chains * 3 * 2 * d50 * d50
+    mxu_roof = 197e12 / 4 if jax.default_backend() == "tpu" else 1e12
     t_mxu = flops / mxu_roof
-    # Memory per step: q,p,grad states round-trip HBM per scan step:
-    # 3 arrays x chains x d x 4B x 2(r+w).
-    bytes_lf = 3 * chains * d50 * 4 * 2
-    t_mem_lf = bytes_lf / bw_roof
-    binding = "HBM" if t_mem_lf > t_mxu else "MXU"
-    t_pred_lf = max(t_mem_lf, t_mxu)
     print(f"[leapfrog 50D] {dt_lf*1e6:.1f} us/step ({lf_per_s/1e6:.0f} M "
-          f"leapfrog-steps/s); pred mem {t_mem_lf*1e6:.1f} us, "
-          f"pred mxu {t_mxu*1e6:.1f} us -> binding={binding}, "
-          f"achieved {t_pred_lf/dt_lf*100:.0f}% of roof")
+          f"leapfrog-steps/s); state VMEM-resident (4.8 MB) -> "
+          f"binding=MXU, pred {t_mxu*1e6:.1f} us, "
+          f"achieved {t_mxu/dt_lf*100:.0f}% of roof")
 
     # ---- fused leapfrog kernel on the flow chain (the M5 kernel).
     try:
