@@ -152,3 +152,29 @@ def test_negll_batch_size_independent():
     a = mvnormal_negll(f, X)
     b = (mvnormal_negll(f, X[:32]) + mvnormal_negll(f, X[32:])) / 2
     np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_whitening_mid_dim_fused_dispatch():
+    """d=16 sits inside the round-3 packed-dispatch window
+    (PACKED_WIN_MAX_DIM=64): the trainer must route through the
+    single-pass negll+grad kernel (padding hoisted) and still converge to
+    the analytic optimum on a linearly-warped Gaussian."""
+    import enflows_tpu as ef
+    from enflows_tpu.ops.pallas.elementwise import PACKED_WIN_MAX_DIM
+
+    dim = 16
+    assert dim <= PACKED_WIN_MAX_DIM
+    key = jax.random.PRNGKey(0)
+    scale = jnp.linspace(0.5, 2.0, dim).astype(jnp.float32)
+    shift = jnp.linspace(-1.0, 1.0, dim).astype(jnp.float32)
+    X = scale * jax.random.normal(key, (20_000, dim), jnp.float32) + shift
+
+    model = ef.ScaleShift(a=jnp.ones(dim, jnp.float32),
+                          b=jnp.zeros(dim, jnp.float32))
+    res = optimize_whitening(X, model, optax.adam(0.05),
+                             nbatches=20, nepochs=80)
+    Y = res.result.forward(X)
+    m = np.asarray(Y).mean(0)
+    sd = np.asarray(Y).std(0)
+    np.testing.assert_allclose(m, np.zeros(dim), atol=0.08)
+    np.testing.assert_allclose(sd, np.ones(dim), atol=0.08)
