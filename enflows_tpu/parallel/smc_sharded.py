@@ -415,6 +415,10 @@ def smc_sample_sharded(log_target: Callable, key, mesh: Mesh, *, dim: int,
             "transport_template_fn presence"
 
     use_in_graph = (metrics is None) if in_graph is None else in_graph
+    if use_in_graph and metrics is not None:
+        raise ValueError(
+            "in_graph=True cannot stream metrics (the ladder runs in one "
+            "jit); drop metrics= or pass in_graph=False")
     if use_in_graph:
         ladder = make_sharded_smc_ladder(
             step, transport_template_fn if use_transport else None)

@@ -436,6 +436,10 @@ def smc_sample(log_target: Callable, key, *, dim: int,
             resample_threshold=resample_threshold)
 
     use_in_graph = (metrics is None) if in_graph is None else in_graph
+    if use_in_graph and metrics is not None:
+        raise ValueError(
+            "in_graph=True cannot stream metrics (the ladder runs in one "
+            "jit); drop metrics= or pass in_graph=False")
     if use_in_graph and ladder is not None:
         with jax.named_scope("enflows.smc.ladder"):
             state, n_t, info_buf = ladder(key, state, max_temps)
