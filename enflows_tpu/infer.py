@@ -134,6 +134,21 @@ def summarize_draws(draws, stats=None) -> dict:
     return out
 
 
+def _fused_hmc_accepts(sampler_kw: dict) -> bool:
+    """True iff every extra sampler kwarg is understood by
+    ``fused_flow_hmc_sample``. The fused fast path's kwarg surface is
+    narrower than ``mcmc.sample``'s (no ``metrics=``/``max_depth=`` ...);
+    merely declaring a target as FlowPushforwardTarget must not turn a
+    previously-valid ``infer`` call into a TypeError (ADVICE r3) — with
+    unsupported kwargs the standard path handles the call instead."""
+    import inspect
+    from .mcmc.fused_hmc import fused_flow_hmc_sample
+    accepted = set(inspect.signature(fused_flow_hmc_sample).parameters)
+    accepted -= {"chain", "key", "dim", "num_chains", "num_warmup",
+                 "num_samples", "dtype", "base_mean", "base_var"}
+    return all(k in accepted for k in sampler_kw)
+
+
 def infer(logdensity_fn: Callable, *, dim: int, key,
           method: str = "nuts",
           num_chains: int = 16, num_warmup: int = 500,
@@ -206,7 +221,8 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
     from .mcmc.logdensity import FlowPushforwardTarget
     if (method == "hmc" and isinstance(logdensity_fn, FlowPushforwardTarget)
             and flow is None and data is None and mesh is None
-            and logdensity_fn.fused_kernel_available(dim, dtype)):
+            and logdensity_fn.fused_kernel_available(dim, dtype)
+            and _fused_hmc_accepts(sampler_kw)):
         from .mcmc.fused_hmc import fused_flow_hmc_sample
         # The kernel samples q with density N(whiten(q)) + ladj_whiten(q)
         # == logdensity_fn(q): draws land directly in DATA space.

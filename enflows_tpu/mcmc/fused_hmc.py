@@ -23,8 +23,12 @@ roofline (BASELINE.md).
 ``fused_flow_hmc_sample`` is a complete sampler: dual-averaging
 step-size warmup toward a target acceptance (identity mass — whitened
 geometry; pass ``inv_mass_diag`` to override), then fixed-step sampling
-with step-size jitter. Draws are returned in the WHITENED space; push
-through ``chain.forward`` for data space.
+with step-size jitter. Draws live in the DOMAIN of ``chain`` (the q that
+``chain`` maps to the Gaussian base): for a pushforward target declared
+via ``FlowPushforwardTarget`` / ``chain = invert(truth_flow)`` that IS
+data space — use them directly; only for a flow-PRECONDITIONED chain
+(whitening trafo fit to data) are they whitened and need
+``invert(chain).forward`` to reach data space.
 """
 from __future__ import annotations
 
@@ -117,7 +121,10 @@ def fused_flow_hmc_sample(chain: Bijector, key, *, dim: int,
     the diagonal-Gaussian base the chain pushes forward — free in-kernel
     (VERDICT r2 next #4).
 
-    Returns (draws (chains, steps, dim) in WHITENED space, final_q, stats).
+    Returns (draws (chains, steps, dim), final_q, stats). Draws are in
+    the domain of ``chain`` — data space for a ``FlowPushforwardTarget``
+    / ``invert(truth_flow)`` chain, whitened space for a whitening chain
+    fit to data (see module docstring).
     """
     if initial_position is None:
         key, k0 = jax.random.split(key)

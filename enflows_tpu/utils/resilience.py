@@ -68,17 +68,50 @@ def run_checkpointed(step_fn: Callable, state: Any, num_steps: int, *,
             save_checkpoint(ckpt_dir, state, step=done)
         if heartbeat_every and done % heartbeat_every == 0:
             if not hb(heartbeat_timeout_s):
+                rescued = False
                 if ckpt_dir:
                     # Persist the last completed step so the restarted job
-                    # loses at most ``heartbeat_every`` steps of work.
-                    jax.block_until_ready(state)
-                    save_checkpoint(ckpt_dir, state, step=done)
+                    # loses at most ``heartbeat_every`` steps of work. The
+                    # readiness wait itself can hang forever when the step's
+                    # pending cross-host collectives involve the dead host
+                    # (the exact condition the probe just detected), so the
+                    # rescue runs under its own deadline — HeartbeatTimeout
+                    # is raised REGARDLESS once it elapses (ADVICE r3).
+                    def _rescue():
+                        jax.block_until_ready(state)
+                        save_checkpoint(ckpt_dir, state, step=done)
+                    rescued = _run_with_deadline(
+                        _rescue, heartbeat_timeout_s)
                 raise HeartbeatTimeout(
                     f"liveness probe failed/timed out after step {done} "
-                    f"(deadline {heartbeat_timeout_s}s)")
+                    f"(deadline {heartbeat_timeout_s}s); rescue checkpoint "
+                    + ("saved" if rescued else
+                       "NOT saved (state unready within deadline — resume "
+                       "from the last periodic checkpoint)"))
         if on_step is not None:
             on_step(i, state)
     return state, start
+
+
+def _run_with_deadline(fn: Callable[[], None], timeout_s: float) -> bool:
+    """Run ``fn()`` in a daemon thread, waiting at most ``timeout_s``.
+    Returns True iff fn completed without raising. A timed-out thread is
+    left parked (the hang is inside the runtime and cannot be cancelled);
+    the caller's job is to raise and let the scheduler restart the pod."""
+    result: dict = {}
+
+    def _work():
+        try:
+            fn()
+            result["ok"] = True
+        except Exception:
+            result["ok"] = False
+
+    th = threading.Thread(target=_work, daemon=True,
+                          name="enflows-rescue")
+    th.start()
+    th.join(timeout_s)
+    return (not th.is_alive()) and result.get("ok", False)
 
 
 _PROBE_CACHE: dict = {}

@@ -251,3 +251,27 @@ def test_infer_routes_pushforward_target_to_fused_kernel(tmp_path):
                                atol=0.1)
     np.testing.assert_allclose(np.asarray(got).std(0), truth_sd,
                                rtol=0.1)
+
+
+def test_infer_pushforward_with_unsupported_kwarg_falls_back(tmp_path):
+    """ADVICE r3: kwargs the fused fast path doesn't understand (e.g.
+    ``metrics=``, valid for method='hmc' on the standard path) must not
+    raise TypeError just because the target is a FlowPushforwardTarget —
+    the standard path handles the call instead."""
+    from enflows_tpu.mcmc import FlowPushforwardTarget
+    from enflows_tpu.utils.metrics import MetricsLogger
+    import enflows_tpu as ef
+
+    d = 2
+    v = lambda val: jnp.full((d,), val, jnp.float32)
+    transport = ef.Chain.of(
+        ef.ScaleShift(a=v(1.5), b=v(0.2)))
+    target = FlowPushforwardTarget(transport)
+    path = str(tmp_path / "m.jsonl")
+    with MetricsLogger(path) as m:
+        res = ef.infer(target, dim=d, key=jax.random.PRNGKey(3),
+                       method="hmc", num_chains=16, num_warmup=50,
+                       num_samples=50, precondition=None,
+                       dtype=jnp.float32, metrics=m)
+    assert res.draws.shape == (16, 50, d)
+    assert len(open(path).read().strip().splitlines()) > 0

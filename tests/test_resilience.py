@@ -114,6 +114,32 @@ def test_run_checkpointed_heartbeat_failure_then_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_rescue_checkpoint_hang_still_raises(tmp_path, monkeypatch):
+    """ADVICE r3 (medium): with a dead host, the RESCUE save itself can
+    hang on pending collectives — the failure path must still raise
+    HeartbeatTimeout at its deadline instead of reintroducing the
+    indefinite hang the watchdog exists to prevent."""
+    import time
+    from enflows_tpu.utils import resilience
+    from enflows_tpu.utils.resilience import HeartbeatTimeout
+
+    step, state0 = _make_step()
+    ckpt = str(tmp_path / "ck")
+
+    def hung_save(*a, **kw):
+        threading = __import__("threading")
+        threading.Event().wait()        # save never completes
+
+    monkeypatch.setattr(resilience, "save_checkpoint", hung_save)
+    t0 = time.time()
+    with pytest.raises(HeartbeatTimeout, match="NOT saved"):
+        run_checkpointed(step, state0, 10, ckpt_dir=ckpt,
+                         checkpoint_every=100, heartbeat_every=5,
+                         heartbeat_timeout_s=0.5,
+                         _heartbeat_fn=lambda t: False)
+    assert time.time() - t0 < 10.0, "failure path hung past the deadline"
+
+
 def test_nan_guard_catches():
     def bad(x):
         return jnp.log(x)          # NaN for negative input
