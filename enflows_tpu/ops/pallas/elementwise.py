@@ -43,12 +43,6 @@ stage's adjoint is emitted by calling `jax.vjp` on the stage body at trace
 time — identical math to the jnp reference by construction. On CPU (and as
 a fallback) the backward differentiates a packed-layout jnp mirror
 (`_packed_jnp_forward`).
-
-For event dims that do NOT divide 128 (e.g. the 50D BASELINE config), a
-standard-layout fused path (`_fused_rowwise_*`) runs the same stage bodies
-on (TILE_N, d) tiles — it forgoes the packed layout's full lane
-utilization (d/128-padded lanes, matching what XLA pays anyway) but keeps
-the single-pass fusion and shared transcendentals.
 """
 from __future__ import annotations
 
@@ -376,11 +370,16 @@ def unpad_packed(y_flat: jax.Array, dim: int) -> jax.Array:
 
 # Rows (of 128 lanes) per grid step in the packed kernels, swept on v5e
 # (flagship 5-stage chain, 16M batch): forward 5.15->5.45 G evals/s going
-# 256->1024; negll single-pass 2.58->2.70 G samples/s at 1024; the full
-# backward holds every stage's input tile plus gy/gx so 1024 blows the
-# 16 MB VMEM budget — 512 is its sweet spot (2.46->2.56 G samples/s).
+# 256->1024; the full backward holds every stage's input tile plus gy/gx
+# so 1024 blows the 16 MB VMEM budget — 512 is its sweet spot (2.46->2.56
+# G samples/s). The single-pass negll kernel also holds all stage inputs:
+# at 1024 rows it sat ~12% UNDER the scoped-VMEM limit for the flagship
+# chain but ~12% OVER for an equal-length chain with a different stage
+# order (caught by tests_tpu on real hardware, round 4 — CPU interpret
+# mode enforces no VMEM budget), and the 1024-row gain was only 4.6%
+# (2.58->2.70 G), so it now uses 512 everywhere.
 _TILE_ROWS = 1024
-_TILE_ROWS_NEGLL = 1024
+_TILE_ROWS_NEGLL = 512
 _TILE_ROWS_BWD = 512
 
 
@@ -925,152 +924,35 @@ def fused_forward_and_ladj_packed(chain: Bijector, x_flat: jax.Array,
         return unpad_packed(y_pad, dim), ladj
 
 
-def _rowwise_stage_inputs(chain: Bijector, dim: int, dtype):
-    """Stage params in their natural shapes for the (TILE_N, d) path:
-    per-dim rows (1, d) and dense (d, d) Q matrices for Householder."""
-    stages = chain.stages if isinstance(chain, Chain) else (chain,)
-    stage_types, nparams, flat_params = [], [], []
-    for s in stages:
-        stage_types.append(type(s))
-        if isinstance(s, Householder):
-            V = s.V[None, :] if s.V.ndim == 1 else s.V
-            QT = householder_matrix(V, dtype=jnp.float32).T.astype(dtype)
-            nparams.append(1)
-            flat_params.append(QT)                      # (d, d)
-        else:
-            ps = _stage_params(s)
-            nparams.append(len(ps))
-            for p in ps:
-                p = jnp.asarray(p, dtype)
-                if p.ndim == 0:
-                    p = jnp.full((dim,), p, dtype)
-                flat_params.append(p[None, :])          # (1, d)
-    return tuple(stage_types), tuple(nparams), tuple(flat_params)
-
-
-def _build_rowwise_kernel(stage_types, nparams_per_stage, dim):
-    """Standard-layout kernel: tiles are (TILE_N, d) — one sample per row.
-    Same stage bodies; ladj reduction is a plain lane sum per row."""
-
-    def kernel(x_ref, *refs):
-        y_ref, ladj_ref = refs[-2], refs[-1]
-        prefs = refs[:-2]
-        # f32 internal compute, storage-dtype at the ref boundary (see
-        # _build_kernel).
-        t = x_ref[:].astype(jnp.float32)
-        acc = None
-        i = 0
-        for st, np_ in zip(stage_types, nparams_per_stage):
-            params = [prefs[i + j][:].astype(jnp.float32)
-                      for j in range(np_)]
-            i += np_
-            if st is Householder:
-                t = jax.lax.dot(t, params[0],
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-                continue
-            t, elem = _APPLY[st](t, *params)
-            elem = jnp.broadcast_to(elem, t.shape)
-            acc = elem if acc is None else acc + elem
-        y_ref[:] = t.astype(y_ref.dtype)
-        if acc is None:
-            ladj_ref[:] = jnp.zeros_like(ladj_ref)
-        else:
-            ladj_ref[:] = jnp.sum(acc, axis=1,
-                                  keepdims=True).astype(ladj_ref.dtype)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def _fused_rowwise_impl(static, x, flat_params):
-    stage_types, nparams, dim = static
-    dtype = x.dtype
-    n = x.shape[0]
-    tile_n = 512
-    n_padded = -(-n // tile_n) * tile_n
-    xp = jnp.pad(x, ((0, n_padded - n), (0, 0)), constant_values=1.0) \
-        if n_padded != n else x
-
-    in_specs = [pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)]
-    for p in flat_params:
-        in_specs.append(pl.BlockSpec(p.shape, lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
-    out_specs = (
-        pl.BlockSpec((tile_n, dim), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-    )
-    kernel = _build_rowwise_kernel(stage_types, nparams, dim)
-    y, ladj = pl.pallas_call(
-        kernel,
-        grid=(n_padded // tile_n,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_padded, dim), dtype),
-            jax.ShapeDtypeStruct((n_padded, 1), jnp.float32),
-        ),
-        interpret=jax.default_backend() == "cpu",
-    )(xp, *flat_params)
-    return y[:n], ladj[:n, 0].astype(dtype)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_rowwise_op(dim, chain, x):
-    static_types, nparams, flat_params = _rowwise_stage_inputs(
-        chain, dim, x.dtype)
-    return _fused_rowwise_impl((static_types, nparams, dim), x,
-                               flat_params)
-
-
-def _fused_rowwise_fwd(dim, chain, x):
-    return _fused_rowwise_op(dim, chain, x), (chain, x)
-
-
-def _fused_rowwise_bwd(dim, res, g):
-    chain, x = res
-    _, vjp = jax.vjp(lambda c, xx: c.forward_and_ladj(xx), chain, x)
-    return vjp(g)
-
-
-_fused_rowwise_op.defvjp(_fused_rowwise_fwd, _fused_rowwise_bwd)
-
-
-def is_rowwise_fusible(chain: Bijector, dim: int, dtype=jnp.float32) -> bool:
-    """Standard-layout fused path: any d, f32/bf16, fusible stage kinds."""
-    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
-                                jnp.dtype(jnp.bfloat16)):
-        return False
-    if jax.config.jax_enable_x64 and jax.default_backend() == "tpu":
-        return False
-    stages = chain.stages if isinstance(chain, Chain) else (chain,)
-    return all(isinstance(s, FUSIBLE_KINDS) for s in stages)
+# The standard-layout "rowwise" kernel ((TILE_N, d) tiles) was removed in
+# round 4 (VERDICT r3 next #6): it LOST at its only target shape (0.59x vs
+# jnp at d=50, BASELINE.md crossover section) because a d-lane minor dim
+# forces Mosaic into padded sublane layouts that forgo everything the
+# packed layout wins. Coverage is: packed kernel for d <= 128 (padded
+# events), jnp/XLA beyond.
 
 
 def fused_forward_and_ladj(chain: Bijector, x: jax.Array,
-                           allow_rowwise: bool = False):
+                           force_packed: bool = False):
     """Fused (y, per-sample ladj) for a standard-layout (n, d) batch.
 
-    d <= PACKED_WIN_MAX_DIM (= 64): packed path after a layout shuffle.
-    PERFORMANCE CAVEAT (measured round 3): the shuffle is a physical
-    relayout costing more than the kernel saves when paid PER CALL —
-    one-shot standard-layout dispatch measures 0.34-0.69x vs jnp at
-    every dim. The packed kernel's 1.5-6x wins require the packed
-    layout end-to-end: hot loops must hoist ``pad_packed`` outside and
-    call ``fused_forward_and_ladj_packed(..., padded=True)`` (as
-    ``optimize_whitening`` does). This entry exists as the convenient
-    correctness surface and for callers who keep data packed anyway.
-    Larger d: jnp (parity within noise at d=100/128); the rowwise
-    kernel loses at d=50 (0.59x) and stays opt-in via
-    ``allow_rowwise``.
+    PERFORMANCE CAVEAT (measured round 3): a one-shot standard-layout
+    call pays a physical relayout that costs more than the kernel saves
+    (0.34-0.69x vs jnp at every dim), so this entry dispatches to the
+    plain jnp path by default (``ONESHOT_PACKED_MAX_DIM = 0``). The
+    packed kernel's 1.5-6x wins require the packed layout end-to-end:
+    hot loops hoist ``pad_packed`` outside and call
+    ``fused_forward_and_ladj_packed(..., padded=True)`` (as
+    ``optimize_whitening`` does). ``force_packed=True`` routes through
+    the packed kernel anyway (correctness surface / packed-resident
+    callers).
     """
     if x.ndim != 2:
         return chain.forward_and_ladj(x)
     n, dim = x.shape
-    if dim <= PACKED_WIN_MAX_DIM and is_fusible_chain(chain, dim, x.dtype):
+    packed_ok = dim <= (PACKED_WIN_MAX_DIM if force_packed
+                        else ONESHOT_PACKED_MAX_DIM)
+    if packed_ok and is_fusible_chain(chain, dim, x.dtype):
         dp = event_pad(dim)
         with jax.named_scope("enflows.pallas.fused_fwd_ladj_packed"):
             if dp == dim:
@@ -1081,7 +963,4 @@ def fused_forward_and_ladj(chain: Bijector, x: jax.Array,
                             constant_values=1.0).reshape(-1)
             y_pad, ladj = _fused_packed_op((dim, dp), chain, x_pad)
             return y_pad.reshape(n, dp)[:, :dim], ladj
-    if allow_rowwise and is_rowwise_fusible(chain, dim, x.dtype):
-        with jax.named_scope("enflows.pallas.fused_fwd_ladj_rowwise"):
-            return _fused_rowwise_op(dim, chain, x)
     return chain.forward_and_ladj(x)

@@ -44,7 +44,7 @@ def test_fused_matches_jnp(d):
     assert is_fusible_chain(chain, d, F)
     x = jax.random.normal(jax.random.PRNGKey(1), (500, d), F)
     y1, l1 = chain.forward_and_ladj(x)
-    y2, l2 = fused_forward_and_ladj(chain, x)
+    y2, l2 = fused_forward_and_ladj(chain, x, force_packed=True)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
@@ -90,7 +90,7 @@ def test_fallbacks():
     assert is_fusible_chain(c3, 3, F)
     x3 = jax.random.normal(jax.random.PRNGKey(4), (40, 3), F)
     y1, l1 = c3.forward_and_ladj(x3)
-    y2, l2 = fused_forward_and_ladj(c3, x3)
+    y2, l2 = fused_forward_and_ladj(c3, x3, force_packed=True)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
@@ -99,19 +99,13 @@ def test_fallbacks():
     c200 = full_chain(200)
     assert not is_fusible_chain(c200, 200, F)
     x200 = jax.random.normal(jax.random.PRNGKey(14), (8, 200), F)
-    ya, la = fused_forward_and_ladj(c200, x200)
+    ya, la = fused_forward_and_ladj(c200, x200, force_packed=True)
     yb, lb = c200.forward_and_ladj(x200)
     np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
-    # Opt-in rowwise kernel path agrees too (interpret mode on CPU).
-    y4, l4 = fused_forward_and_ladj(c3, x3, allow_rowwise=True)
-    np.testing.assert_allclose(np.asarray(y4), np.asarray(y1),
-                               rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
-                               rtol=2e-4, atol=2e-4)
     # f64 falls back (Mosaic has no f64 path).
     assert not is_fusible_chain(chain, 2, jnp.float64)
     x64 = jax.random.normal(jax.random.PRNGKey(5), (40, 2), jnp.float64)
-    y3, l3 = fused_forward_and_ladj(chain, x64)
+    y3, l3 = fused_forward_and_ladj(chain, x64, force_packed=True)
     y4, l4 = chain.forward_and_ladj(x64)
     np.testing.assert_array_equal(np.asarray(y3), np.asarray(y4))
 
@@ -121,7 +115,7 @@ def test_householder_blockdiag_orthogonality():
     h = ef.Householder(
         V=jax.random.normal(jax.random.PRNGKey(6), (4, 4), F)).canonicalize()
     x = jax.random.normal(jax.random.PRNGKey(7), (256, 4), F)
-    y, ladj = fused_forward_and_ladj(ef.Chain.of(h), x)
+    y, ladj = fused_forward_and_ladj(ef.Chain.of(h), x, force_packed=True)
     np.testing.assert_allclose(np.sum(np.asarray(y) ** 2, -1),
                                np.sum(np.asarray(x) ** 2, -1), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ladj), np.zeros(256))
@@ -234,7 +228,7 @@ def test_fused_fuzz_random_chains(seed):
     n = int(jax.random.randint(k_x, (), 1, 700))
     x = jax.random.normal(jax.random.fold_in(k_x, 1), (n, d), F)
     y1, l1 = chain.forward_and_ladj(x)
-    y2, l2 = fused_forward_and_ladj(chain, x)
+    y2, l2 = fused_forward_and_ladj(chain, x, force_packed=True)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
@@ -276,7 +270,7 @@ def test_fused_padded_dims_match_jnp(d):
     n = 137
     x = jax.random.normal(k_x, (n, d), F)
     y1, l1 = chain.forward_and_ladj(x)
-    y2, l2 = fused_forward_and_ladj(chain, x)
+    y2, l2 = fused_forward_and_ladj(chain, x, force_packed=True)
     assert y2.shape == (n, d) and l2.shape == (n,)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                rtol=3e-5, atol=3e-5)
@@ -352,7 +346,7 @@ def test_fused_bf16_calibrated(d):
 
     chain16 = jax.tree.map(lambda p: p.astype(jnp.bfloat16), chain32)
     x16 = x32.astype(jnp.bfloat16)
-    y16, l16 = fused_forward_and_ladj(chain16, x16)
+    y16, l16 = fused_forward_and_ladj(chain16, x16, force_packed=True)
     assert y16.dtype == jnp.bfloat16
 
     # Calibrated gate: the fused kernel's error against the f32 reference
@@ -407,3 +401,20 @@ def test_coupling_bf16_conditioner_invertibility():
     sign, logdet = np.linalg.slogdet(np.asarray(jac, np.float64))
     np.testing.assert_allclose(np.asarray(ladj[:8]), logdet,
                                rtol=2e-2, atol=2e-2)
+
+
+def test_oneshot_standard_layout_defaults_to_jnp():
+    """ADVICE r3: the one-shot standard-layout entry pays a per-call
+    relayout that loses at every dim (0.34-0.69x), so its DEFAULT dispatch
+    is the jnp path — bitwise identical to chain.forward_and_ladj — while
+    force_packed=True still routes through the kernel."""
+    chain = full_chain(2)
+    x = jax.random.normal(jax.random.PRNGKey(21), (64, 2), F)
+    y_ref, l_ref = chain.forward_and_ladj(x)
+    y_def, l_def = fused_forward_and_ladj(chain, x)
+    np.testing.assert_array_equal(np.asarray(y_def), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(l_def), np.asarray(l_ref))
+    y_k, l_k = fused_forward_and_ladj(chain, x, force_packed=True)
+    # Kernel path: equal within tolerance but a different computation.
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
