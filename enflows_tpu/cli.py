@@ -35,16 +35,26 @@ def cmd_train(cfg):
     log = MetricsLogger(cfg.metrics_path) if cfg.metrics_path else None
 
     if cfg.train.objective == "whitening":
-        # Synthetic demo target when no data source is configured: the
-        # reference 1D example's ground truth, matching examples/.
-        from . import compose, CenterStretch, Johnson
-        d = cfg.flow.dim
-        vec = lambda v: jnp.full((d,), v, jnp.dtype(cfg.flow.dtype))
-        truth = compose(CenterStretch(a=vec(4.0), b=vec(1.0), c=vec(0.0)),
-                        Johnson(gamma=vec(10.0), delta=vec(3.5),
-                                xi=vec(10.0), lam=vec(1.0)))
-        X = truth.forward(jax.random.normal(key, (10**5, d),
-                                            jnp.dtype(cfg.flow.dtype)))
+        if cfg.data_path:
+            # User data: (n, dim) array from .npz/.npy (--data run.npz).
+            from .utils.config import load_array
+            X = jnp.asarray(load_array(cfg.data_path),
+                            jnp.dtype(cfg.flow.dtype))
+            if X.ndim != 2 or X.shape[1] != cfg.flow.dim:
+                raise ValueError(
+                    f"data {cfg.data_path}: shape {X.shape} does not match "
+                    f"(n, flow.dim={cfg.flow.dim})")
+        else:
+            # Synthetic demo target when no data source is configured: the
+            # reference 1D example's ground truth, matching examples/.
+            from . import compose, CenterStretch, Johnson
+            d = cfg.flow.dim
+            vec = lambda v: jnp.full((d,), v, jnp.dtype(cfg.flow.dtype))
+            truth = compose(CenterStretch(a=vec(4.0), b=vec(1.0), c=vec(0.0)),
+                            Johnson(gamma=vec(10.0), delta=vec(3.5),
+                                    xi=vec(10.0), lam=vec(1.0)))
+            X = truth.forward(jax.random.normal(key, (10**5, d),
+                                                jnp.dtype(cfg.flow.dtype)))
         res = optimize_whitening(X, flow, opt, nbatches=cfg.train.nbatches,
                                  nepochs=cfg.train.nepochs,
                                  mesh=_mesh_from_cfg(cfg), metrics=log)
@@ -82,8 +92,12 @@ def cmd_sample(cfg):
     dim = cfg.flow.dim
     log = MetricsLogger(cfg.metrics_path) if cfg.metrics_path else None
 
-    def logp(q):           # demo target: standard normal
-        return -0.5 * jnp.sum(q * q)
+    if cfg.target:
+        from .utils.config import resolve_target
+        logp = resolve_target(cfg.target)     # user target: --target mod:fn
+    else:
+        def logp(q):       # demo target: standard normal
+            return -0.5 * jnp.sum(q * q)
 
     key = jax.random.PRNGKey(cfg.sampler.seed)
     if cfg.sampler.algorithm == "smc":
@@ -113,31 +127,41 @@ def cmd_sample(cfg):
 
 
 def cmd_infer(cfg):
-    """One-call pipeline (ef.infer) on the demo warped 2D target:
-    auto-fit a transport, sample the preconditioned target, print the
-    rank-normalized diagnostics summary."""
+    """One-call pipeline (ef.infer): auto-fit a transport, sample the
+    preconditioned target, print the rank-normalized diagnostics summary.
+
+    The target is the user's own log density when ``--target mod:logp``
+    (or ``file.py:logp``) is given; otherwise a built-in demo warped
+    target — so ``enflows_tpu infer --target mymod:logp --flow.dim=8``
+    runs end-to-end inference on a density defined outside the repo."""
     import numpy as np
-    from . import (infer, compose, ScaleShift, Householder, JohnsonInv,
-                   FlowDistribution)
+    from . import infer
 
     dim = cfg.flow.dim
     dt = jnp.dtype(cfg.flow.dtype)
-    vec = lambda v: jnp.full((dim,), v, dt)
-    stages = [ScaleShift(a=vec(1.3), b=vec(2.5))]
-    if dim > 1:
-        stages.append(Householder(
-            V=jax.random.normal(jax.random.PRNGKey(0), (dim,), dt)))
-    stages.append(JohnsonInv(gamma=vec(0.5), delta=vec(2.0),
-                             xi=vec(0.0), lam=vec(1.0)))
-    target = FlowDistribution(bijector=compose(*stages))
+    if cfg.target:
+        from .utils.config import resolve_target
+        logp = resolve_target(cfg.target)
+    else:
+        from . import (compose, ScaleShift, Householder, JohnsonInv,
+                       FlowDistribution)
+        vec = lambda v: jnp.full((dim,), v, dt)
+        stages = [ScaleShift(a=vec(1.3), b=vec(2.5))]
+        if dim > 1:
+            stages.append(Householder(
+                V=jax.random.normal(jax.random.PRNGKey(0), (dim,), dt)))
+        stages.append(JohnsonInv(gamma=vec(0.5), delta=vec(2.0),
+                                 xi=vec(0.0), lam=vec(1.0)))
+        target = FlowDistribution(bijector=compose(*stages))
+        logp = lambda q: target.logpdf(q)
 
     key = jax.random.PRNGKey(cfg.sampler.seed)
     if cfg.sampler.algorithm == "smc":
-        res = infer(lambda q: target.logpdf(q), dim=dim, key=key,
+        res = infer(logp, dim=dim, key=key,
                     method="smc", precondition=None,
                     num_particles=cfg.sampler.num_particles, dtype=dt)
     else:
-        res = infer(lambda q: target.logpdf(q), dim=dim, key=key,
+        res = infer(logp, dim=dim, key=key,
                     method=cfg.sampler.algorithm,
                     num_chains=cfg.sampler.num_chains,
                     num_warmup=cfg.sampler.num_warmup,
@@ -163,8 +187,18 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="enflows_tpu")
     parser.add_argument("command", choices=["train", "sample", "infer"])
     parser.add_argument("--config", default=None)
+    parser.add_argument("--target", default=None, metavar="MOD:ATTR",
+                        help="user log-density spec: 'module:attr' or "
+                             "'path/to/file.py:attr' ((dim,) -> scalar)")
+    parser.add_argument("--data", default=None, metavar="PATH",
+                        help="training data .npz/.npy of shape (n, dim) "
+                             "for the whitening objective")
     args, overrides = parser.parse_known_args(argv)
     cfg = load_config(args.config, overrides)
+    if args.target:
+        cfg.target = args.target
+    if args.data:
+        cfg.data_path = args.data
     return {"train": cmd_train, "sample": cmd_sample,
             "infer": cmd_infer}[args.command](cfg)
 

@@ -204,6 +204,67 @@ def test_cli_infer_smc(capsys):
     assert "logZ" in capsys.readouterr().out
 
 
+def test_cli_user_target_end_to_end(tmp_path, capsys):
+    """VERDICT r3 next #7 done-condition: the CLI runs end-to-end
+    inference and sampling on a log density defined OUTSIDE the repo
+    (a user file loaded via --target file.py:attr)."""
+    from enflows_tpu.cli import main
+
+    mod = tmp_path / "mytarget.py"
+    mod.write_text(
+        "import jax.numpy as jnp\n"
+        "def logp(q):\n"
+        "    mean = jnp.asarray([1.5, -0.5], q.dtype)\n"
+        "    return -0.5 * jnp.sum((q - mean) ** 2 / 0.25)\n")
+
+    rc = main(["infer", "--target", f"{mod}:logp", "--flow.dim=2",
+               "--sampler.algorithm=chees", "--sampler.num_warmup=150",
+               "--sampler.num_samples=150", "--sampler.num_chains=8",
+               "--train.nsteps=150"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rhat" in out
+    # The printed posterior mean is the user target's, not the demo's.
+    import re
+    nums = re.findall(r"mean=\[\s*([-\d.]+)\s+([-\d.]+)", out)
+    assert nums, out
+    got = [float(nums[0][0]), float(nums[0][1])]
+    assert abs(got[0] - 1.5) < 0.2 and abs(got[1] + 0.5) < 0.2, out
+
+    rc = main(["sample", "--target", f"{mod}:logp", "--flow.dim=2",
+               "--sampler.algorithm=hmc", "--sampler.num_warmup=100",
+               "--sampler.num_samples=100", "--sampler.num_chains=4"])
+    assert rc == 0
+    assert "rhat" in capsys.readouterr().out
+
+
+def test_cli_train_user_data(tmp_path, capsys):
+    """Whitening training on a user-provided .npz data file (--data)."""
+    import numpy as np
+    from enflows_tpu.cli import main
+
+    rng = np.random.default_rng(0)
+    X = (rng.normal(size=(4000, 2)) * [2.0, 0.5] + [1.0, -1.0]).astype(
+        np.float32)
+    path = tmp_path / "data.npz"
+    np.savez(path, X=X)
+    rc = main(["train", "--data", str(path), "--flow.dim=2",
+               "--train.nepochs=2", "--train.nbatches=4",
+               '--flow.stages=["scale_shift"]'])
+    assert rc == 0
+    assert "final loss" in capsys.readouterr().out
+
+
+def test_resolve_target_module_spec():
+    """module:attr specs (incl. dotted attrs) resolve via importlib."""
+    from enflows_tpu.utils.config import resolve_target
+
+    fn = resolve_target("numpy:linalg.norm")
+    assert fn([3.0, 4.0]) == 5.0
+    with pytest.raises(ValueError):
+        resolve_target("no_colon_spec")
+
+
 def test_cli_train_elbo(capsys):
     from enflows_tpu.cli import main
     rc = main(["train", "--train.objective=elbo", "--flow.dim=1",
