@@ -38,6 +38,7 @@ from .bijectors import (
 from .distributions import (
     FlowDistribution, JohnsonSU, std_normal_logpdf, std_normal_logpdf_sum,
 )
+from .utils.pytree import param_dtype
 from .infer import (
     infer, InferenceResult, summarize_draws, default_flow_template,
     coupling_flow_template,

@@ -3,7 +3,9 @@ from .base import (
 )
 from .scale_shift import ScaleShift
 from .center_stretch import CenterStretch, CenterContract
-from .johnson import Johnson, JohnsonInv
+from .johnson import (Johnson, JohnsonInv, johnson_deriv,
+                      johnson_inv_deriv, johnson_ladj,
+                      johnson_inv_ladj)
 from .householder import (
     Householder, householder_chain, householder_chain_dense,
     householder_matrix,
@@ -17,7 +19,8 @@ __all__ = [
     "Bijector", "Chain", "Identity", "compose", "invert",
     "forward_and_ladj", "sum_ladjs",
     "ScaleShift", "CenterStretch", "CenterContract",
-    "Johnson", "JohnsonInv",
+    "Johnson", "JohnsonInv", "johnson_deriv", "johnson_inv_deriv",
+    "johnson_ladj", "johnson_inv_ladj",
     "Householder", "householder_chain", "householder_chain_dense",
     "householder_matrix",
     "AffineCoupling", "MLPConditioner", "Permute", "init_affine_coupling",

@@ -105,3 +105,18 @@ def pytree_dataclass(cls: type[T] | None = None, *, static: tuple[str, ...] = ()
 
 def field(**kwargs) -> Any:
     return dataclasses.field(**kwargs)
+
+
+def param_dtype(tree):
+    """Common (promoted) dtype of a pytree's array leaves — the JAX
+    equivalent of the reference's ``Distributions.partype`` param-dtype
+    introspection (/root/reference/src/johnson_trafo.jl:19). Works on any
+    bijector/distribution/state pytree; returns float32 for a leafless
+    tree (the library default dtype)."""
+    import jax.numpy as jnp
+
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "dtype") or isinstance(l, (int, float, complex))]
+    if not leaves:
+        return jnp.dtype(jnp.float32)
+    return jnp.result_type(*leaves)

@@ -148,3 +148,63 @@ def test_param_grads_finite(f):
     g = jax.grad(loss)(f)
     for leaf in jax.tree.leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_johnson_deriv_helpers_vs_ad():
+    """Standalone scalar-derivative helpers (reference deriv_johnsontrafo /
+    deriv_johnsontrafo_inv, johnson_trafo.jl:39-47; VERDICT r3 missing #1)
+    match forward-mode AD of the primal maps and exp(ladj)."""
+    from enflows_tpu.bijectors import (johnson_deriv, johnson_inv_deriv,
+                                       johnson_ladj, johnson_inv_ladj)
+    from enflows_tpu.bijectors.johnson import johnson_forward, johnson_inverse
+
+    g, d, xi, lam = 0.3, 2.5, -0.4, 1.7
+    x = jnp.linspace(-4.0, 4.0, 23, dtype=jnp.float64)
+    ad = jax.vmap(jax.grad(lambda v: johnson_forward(v, g, d, xi, lam)))(x)
+    np.testing.assert_allclose(np.asarray(johnson_deriv(x, g, d, xi, lam)),
+                               np.asarray(ad), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(johnson_deriv(x, g, d, xi, lam)),
+        np.exp(np.asarray(johnson_ladj(x, g, d, xi, lam))), rtol=1e-12)
+    ad_i = jax.vmap(jax.grad(lambda v: johnson_inverse(v, g, d, xi, lam)))(x)
+    np.testing.assert_allclose(
+        np.asarray(johnson_inv_deriv(x, g, d, xi, lam)), np.asarray(ad_i),
+        rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(johnson_inv_deriv(x, g, d, xi, lam)),
+        np.exp(np.asarray(johnson_inv_ladj(x, g, d, xi, lam))), rtol=1e-12)
+
+
+def test_center_stretch_f64_logdomain_precision():
+    """ADVICE r3: f64 dispatches to the log-domain form — small-b roundtrip
+    precision must stay at the ~1e-12 level the single-exp form loses."""
+    f = CenterStretch(a=jnp.float64(2.0), b=jnp.float64(0.05),
+                      c=jnp.float64(0.0))
+    # Exclude |b*x| < 1e-6: the shared m-clamp singularity guard (not the
+    # algebraic form) bounds accuracy there in BOTH forms.
+    x = jnp.concatenate([jnp.linspace(-30.0, -0.1, 100, dtype=jnp.float64),
+                         jnp.linspace(0.1, 30.0, 100, dtype=jnp.float64)])
+    y = f.forward(x)
+    x_rt = f.inverse().forward(y)
+    err = np.max(np.abs(np.asarray(x_rt - x)))
+    assert err < 1e-10, f"f64 roundtrip degraded: {err:.2e}"
+    # And the f32 single-exp path still round-trips at f32 tolerance.
+    f32 = CenterStretch(a=jnp.float32(2.0), b=jnp.float32(0.05),
+                        c=jnp.float32(0.0))
+    x32 = x.astype(jnp.float32)
+    rt32 = f32.inverse().forward(f32.forward(x32))
+    assert np.max(np.abs(np.asarray(rt32 - x32))) < 1e-3
+
+
+def test_param_dtype_introspection():
+    """param_dtype = the reference's Distributions.partype equivalent
+    (johnson_trafo.jl:19; VERDICT r3 missing #2)."""
+    from enflows_tpu import param_dtype
+
+    j32 = Johnson.init(dtype=jnp.float32)
+    assert param_dtype(j32) == jnp.float32
+    j64 = Johnson.init(dtype=jnp.float64)
+    assert param_dtype(j64) == jnp.float64
+    mixed = CenterStretch(a=jnp.float32(1.0), b=jnp.float64(2.0),
+                          c=jnp.float32(0.0))
+    assert param_dtype(mixed) == jnp.float64
