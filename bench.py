@@ -38,10 +38,17 @@ ANCHOR_EVALS_PER_S = 728.5e6
 K_LO, K_HI = 4, 24
 
 
-def slope_measure(body, x, k_lo=K_LO, k_hi=K_HI, repeats=4):
+def slope_stats(body, x, k_lo=K_LO, k_hi=K_HI, rounds=6):
     """Per-iteration device time of ``body`` (carry -> carry, data-
     dependent) via the two-K slope of a chained fori_loop; cancels the
-    fixed per-dispatch RPC + fetch latency of the tunnel."""
+    fixed per-dispatch RPC + fetch latency of the tunnel.
+
+    Returns a stats dict instead of one cherry-pickable number (VERDICT
+    r3 next #5): the slope is measured in ``rounds`` INTERLEAVED
+    (k_hi, k_lo) pairs — the discipline that bounds this box's ±25%
+    run-to-run wobble — and the dict carries ``n_runs``/``min``/
+    ``median``/``spread`` (max/min) over per-round slopes, in seconds
+    per iteration. BASELINE.md quotes these same fields."""
 
     @functools.partial(jax.jit, static_argnums=1)
     def chain(v, k):
@@ -49,18 +56,37 @@ def slope_measure(body, x, k_lo=K_LO, k_hi=K_HI, repeats=4):
         leaf = jax.tree_util.tree_leaves(out)[0]
         return leaf.reshape(-1)[0]
 
-    float(chain(x, k_hi))
+    float(chain(x, k_hi))        # compile both variants first
     float(chain(x, k_lo))
 
-    def best(k):
-        b = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(chain(x, k))
-            b = min(b, time.perf_counter() - t0)
-        return b
+    def timed(k):
+        t0 = time.perf_counter()
+        float(chain(x, k))
+        return time.perf_counter() - t0
 
-    return (best(k_hi) - best(k_lo)) / (k_hi - k_lo)
+    slopes = []
+    for _ in range(rounds):
+        t_hi = timed(k_hi)
+        t_lo = timed(k_lo)
+        slopes.append((t_hi - t_lo) / (k_hi - k_lo))
+    pos = sorted(s for s in slopes if s > 0.0) or sorted(slopes)
+    stats = {
+        "n_runs": len(pos),
+        "min": pos[0],
+        "median": pos[len(pos) // 2],
+        "max": pos[-1],
+        "spread": (pos[-1] / pos[0]) if pos[0] > 0 else float("inf"),
+    }
+    if stats["spread"] > 2.0:
+        print(f"[bench] WARNING: slope spread {stats['spread']:.2f}x "
+              f"across {rounds} rounds exceeds 2x — box noise is "
+              f"dominating; treat medians, not mins", file=sys.stderr)
+    return stats
+
+
+def slope_measure(body, x, k_lo=K_LO, k_hi=K_HI, repeats=6):
+    """Back-compat scalar: min-of-rounds slope (see ``slope_stats``)."""
+    return slope_stats(body, x, k_lo, k_hi, rounds=repeats)["min"]
 
 
 def main():
@@ -94,20 +120,27 @@ def main():
         y, ladj = fused_forward_and_ladj_packed(flow, u, dim)
         return y * 0.1 + 1e-12 * jnp.sum(ladj)
 
-    dt_jnp = slope_measure(jnp_body, x)
-    print(f"[bench] jnp/XLA fwd+logdet: {dt_jnp*1e3:.3f} ms "
-          f"({batch/dt_jnp/1e6:.0f}M evals/s)", file=sys.stderr)
+    st_jnp = slope_stats(jnp_body, x)
+    dt_jnp = st_jnp["min"]
+    print(f"[bench] jnp/XLA fwd+logdet: min {dt_jnp*1e3:.3f} ms / median "
+          f"{st_jnp['median']*1e3:.3f} ms ({batch/st_jnp['median']/1e6:.0f}"
+          f"M evals/s median, spread {st_jnp['spread']:.2f}x)",
+          file=sys.stderr)
 
     if fused_ok:
-        dt = slope_measure(packed_body, x_flat)
-        print(f"[bench] packed pallas fwd+logdet: {dt*1e3:.3f} ms "
-              f"({batch/dt/1e6:.0f}M evals/s, "
-              f"{dt_jnp/dt:.2f}x vs jnp)", file=sys.stderr)
+        st = slope_stats(packed_body, x_flat)
+        dt = st["min"]
+        print(f"[bench] packed pallas fwd+logdet: min {dt*1e3:.3f} ms / "
+              f"median {st['median']*1e3:.3f} ms "
+              f"({batch/st['median']/1e6:.0f}M evals/s median, spread "
+              f"{st['spread']:.2f}x, {st_jnp['median']/st['median']:.2f}x "
+              f"vs jnp median)", file=sys.stderr)
     else:
+        st = st_jnp
         dt = dt_jnp
         print("[bench] fused path unavailable; using jnp", file=sys.stderr)
 
-    evals_per_s = batch / dt
+    evals_per_s = batch / st["median"]
 
     # 4M batch for the chained train step (at 16M the kernel's per-tile
     # grad partials exceed the 16 MB scoped-VMEM limit inside fori_loop);
@@ -132,12 +165,14 @@ def main():
         loss, grads = fused_negll_value_and_grad(flow, u, dim)
         return _fold_grads(u, loss, grads)
 
-    dt_g = slope_measure(grad_body_std, x_tr, k_hi=48)
-    dt_gp = slope_measure(grad_body_fused, x_tr_flat, k_hi=48)
-    print(f"[bench] negll value+grad: std {dt_g*1e3:.3f} ms "
-          f"({batch_tr/dt_g/1e6:.0f}M samples/s) | single-pass kernel "
-          f"{dt_gp*1e3:.3f} ms ({batch_tr/dt_gp/1e6:.0f}M samples/s, "
-          f"{dt_g/dt_gp:.2f}x)", file=sys.stderr)
+    st_g = slope_stats(grad_body_std, x_tr, k_hi=48)
+    st_gp = slope_stats(grad_body_fused, x_tr_flat, k_hi=48)
+    print(f"[bench] negll value+grad: std median {st_g['median']*1e3:.3f} "
+          f"ms ({batch_tr/st_g['median']/1e6:.0f}M samples/s) | "
+          f"single-pass kernel median {st_gp['median']*1e3:.3f} ms "
+          f"({batch_tr/st_gp['median']/1e6:.0f}M samples/s, "
+          f"{st_g['median']/st_gp['median']:.2f}x; spreads "
+          f"{st_g['spread']:.2f}/{st_gp['spread']:.2f})", file=sys.stderr)
 
     # Second reported config: d=50 (the BASELINE 50D flow-preconditioned
     # NUTS config), measured the way a real hot loop runs it — padding
@@ -158,16 +193,38 @@ def main():
                                                 padded=True)
         return y * 0.1 + 1e-12 * jnp.sum(ladj)
 
-    dt50 = slope_measure(body50, x50p, k_hi=64)
+    st50 = slope_stats(body50, x50p, k_hi=64)
     print(f"[bench] d=50 fwd+logdet (dispatched hot-loop path, packed): "
-          f"{dt50*1e3:.3f} ms ({batch50/dt50/1e6:.0f}M evals/s)",
-          file=sys.stderr)
+          f"median {st50['median']*1e3:.3f} ms "
+          f"({batch50/st50['median']/1e6:.0f}M evals/s, spread "
+          f"{st50['spread']:.2f}x)", file=sys.stderr)
 
+    def per_s(stats, n):
+        return {"n_runs": stats["n_runs"],
+                "min": round(n / stats["max"]),      # worst-round rate
+                "median": round(n / stats["median"]),
+                "max": round(n / stats["min"]),      # best-round rate
+                "spread": round(stats["spread"], 2)}
+
+    # ``value`` is the MEDIAN rate (was best-of-N in rounds 1-3); the
+    # min/median/max/spread fields make the driver artifact reconcilable
+    # with BASELINE.md field-for-field (VERDICT r3 next #5).
+    hs = per_s(st, batch)
     print(json.dumps({
         "metric": "flow_fwd_logdet_evals_per_s_per_chip",
         "value": round(evals_per_s),
         "unit": "evals/s",
         "vs_baseline": round(evals_per_s / ANCHOR_EVALS_PER_S, 3),
+        "n_runs": hs["n_runs"],
+        "min": hs["min"],
+        "median": hs["median"],
+        "max": hs["max"],
+        "spread": hs["spread"],
+        "jnp_baseline_median": round(batch / st_jnp["median"]),
+        "speedup_vs_jnp_median": round(st_jnp["median"] / st["median"], 2),
+        "d50_evals_per_s": per_s(st50, batch50),
+        "train_kernel_samples_per_s": per_s(st_gp, batch_tr),
+        "train_std_samples_per_s": per_s(st_g, batch_tr),
     }))
 
 
