@@ -1,0 +1,144 @@
+"""Coupling-tier roofline + fused-kernel A/B (VERDICT r3 next #1).
+
+The coupling stack is the family users need for conditional structure
+(banana/funnel-class targets — infer.coupling_flow_template), and until
+round 4 it had no performance story: 34.7M evals/s f32 at the BASELINE
+config with zero analysis. This bench supplies:
+
+* an MXU FLOPs model for the conditioner MLPs (the stack's FLOPs are
+  entirely (batch, fan_in) @ (fan_in, fan_out) matmuls) and the measured
+  fraction-of-roof for the jnp/XLA path and the fused Pallas kernel
+  (ops/pallas/coupling.py);
+* an HBM activation-traffic model explaining WHERE the jnp path's gap
+  comes from (inter-layer (batch, hidden) round trips the fused kernel
+  eliminates);
+* honest A/Bs at the BASELINE config (d=64, 4 couplings, (512, 512)
+  conditioners, 128K batch) in f32 and bf16-conditioner modes, measured
+  with the interleaved-round slope stats of bench.py.
+
+Run: python benchmarks/bench_coupling.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from enflows_tpu.utils.compilation_cache import \
+    enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import enflows_tpu as ef
+from enflows_tpu.bijectors import coupling_stack
+from enflows_tpu.ops.pallas.coupling import (
+    fused_coupling_forward_and_ladj, is_fusible_coupling_stack)
+
+from bench import slope_stats
+
+# v5e peaks (datasheet): bf16 MXU 197 TFLOP/s; HBM 819 GB/s (measured
+# copy roof on this chip: 690 GB/s, BASELINE.md roofline table).
+BF16_TFLOPS = 197e12
+HBM_GBPS = 690e9
+
+DIM = 64
+HIDDEN = (512, 512)
+N_LAYERS = 4
+BATCH = 1 << 17
+
+
+def flops_per_sample(dim=DIM, hidden=HIDDEN, n_layers=N_LAYERS):
+    d_a = dim // 2
+    sizes = (d_a,) + tuple(hidden) + (dim,)
+    per_coupling = sum(2 * a * b for a, b in zip(sizes[:-1], sizes[1:]))
+    return per_coupling * n_layers
+
+
+def hbm_bytes_per_sample_unfused(dim=DIM, hidden=HIDDEN,
+                                 n_layers=N_LAYERS, itemsize=4):
+    """Model of the jnp path's activation traffic: x in + y out + every
+    inter-layer hidden written and re-read once per coupling (weights
+    amortize to ~0 at large batch)."""
+    hidden_rt = sum(2 * h for h in hidden)       # write + read each h
+    per_coupling = hidden_rt + 2 * dim           # + (s,t) out, x_a reread
+    return (2 * dim + n_layers * per_coupling) * itemsize
+
+
+def build(compute_dtype=None):
+    key = jax.random.PRNGKey(0)
+    stack = coupling_stack(key, DIM, n_layers=N_LAYERS, hidden=HIDDEN,
+                           compute_dtype=compute_dtype)
+    # Perturb off the identity so nothing folds away.
+    return jax.tree.map(
+        lambda p: p + 0.03 * jax.random.normal(
+            jax.random.PRNGKey(p.size % 101), p.shape, p.dtype), stack)
+
+
+def measure(stack, x, label, fused: bool):
+    def body(u):
+        if fused:
+            y, ladj = fused_coupling_forward_and_ladj(
+                stack, u, physical_order=True)
+        else:
+            y, ladj = stack.forward_and_ladj(u)
+        # DCE-proof fold of BOTH outputs (bench.py discipline).
+        return y * 0.1 + 1e-12 * jnp.sum(ladj)
+
+    st = slope_stats(body, x)
+    evals = BATCH / st["median"]
+    tf = evals * flops_per_sample() / 1e12
+    frac = tf * 1e12 / BF16_TFLOPS
+    print(f"[coupling] {label}: median {st['median']*1e3:.3f} ms -> "
+          f"{evals/1e6:.1f}M evals/s = {tf:.1f} TFLOP/s "
+          f"({100*frac:.0f}% of bf16 MXU roof; spread "
+          f"{st['spread']:.2f}x)", file=sys.stderr)
+    return {"evals_per_s": round(evals), "tflops": round(tf, 1),
+            "frac_of_bf16_roof": round(frac, 3),
+            "n_runs": st["n_runs"], "spread": round(st["spread"], 2)}
+
+
+def main():
+    x = jax.random.normal(jax.random.PRNGKey(1), (BATCH, DIM),
+                          jnp.float32)
+    fps = flops_per_sample()
+    unfused_bytes = hbm_bytes_per_sample_unfused()
+    fused_bytes = 2 * DIM * 4
+    print(f"[coupling] model: {fps/1e6:.2f} MFLOP/sample; roofs at this "
+          f"config — MXU(bf16): {BF16_TFLOPS/fps/1e6:.0f}M evals/s; "
+          f"HBM if hiddens round-trip (jnp): "
+          f"{HBM_GBPS/unfused_bytes/1e6:.0f}M evals/s; HBM fused (x+y "
+          f"only): {HBM_GBPS/fused_bytes/1e6:.0f}M evals/s",
+          file=sys.stderr)
+
+    stack = build()
+    assert is_fusible_coupling_stack(stack, DIM)
+    out = {
+        "config": {"dim": DIM, "hidden": list(HIDDEN),
+                   "n_layers": N_LAYERS, "batch": BATCH,
+                   "mflops_per_sample": round(fps / 1e6, 2)},
+        "jnp_f32": measure(stack, x, "jnp f32", fused=False),
+        "fused_f32": measure(stack, x, "fused f32", fused=True),
+    }
+    out["fused_speedup_f32"] = round(
+        out["fused_f32"]["evals_per_s"]
+        / out["jnp_f32"]["evals_per_s"], 2)
+
+    stack16 = build(compute_dtype="bfloat16")
+    out["jnp_bf16"] = measure(stack16, x, "jnp bf16-conditioner",
+                              fused=False)
+    out["fused_bf16"] = measure(stack16, x, "fused bf16-conditioner",
+                                fused=True)
+    out["fused_speedup_bf16"] = round(
+        out["fused_bf16"]["evals_per_s"]
+        / out["jnp_bf16"]["evals_per_s"], 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,8 +17,13 @@ from .elementwise import (
     fused_negll_value_and_grad,
     is_fusible_chain,
 )
+from .coupling import (
+    fused_coupling_forward_and_ladj,
+    is_fusible_coupling_stack,
+)
 
 __all__ = [
     "fused_forward_and_ladj", "fused_forward_and_ladj_packed",
     "fused_negll_value_and_grad", "is_fusible_chain",
+    "fused_coupling_forward_and_ladj", "is_fusible_coupling_stack",
 ]

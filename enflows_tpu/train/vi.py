@@ -30,14 +30,23 @@ from ..bijectors.base import Bijector
 _LOG_2PI = 1.8378770664093453
 
 
-def neg_elbo(flow: Bijector, logdensity_fn: Callable, xi: jax.Array
-             ) -> jax.Array:
+def neg_elbo(flow: Bijector, logdensity_fn: Callable, xi: jax.Array,
+             use_fused_coupling: bool = False) -> jax.Array:
     """Negative ELBO for transport ``flow`` against unnormalized logdensity.
 
     xi: (n, dim) base-normal draws. Counterpart of nELBO (reference :25-36)
-    with the corrected entropy term.
+    with the corrected entropy term. ``use_fused_coupling`` routes the
+    batched forward+ladj through the fused whole-stack coupling kernel
+    (ops.pallas.coupling — logical lane order preserved because z feeds
+    an arbitrary user log density); selected by ``optimize_elbo`` for
+    unsharded coupling-stack transports (a pallas_call does not
+    partition over a mesh, so the sharded path stays jnp).
     """
-    z, ladj = flow.forward_and_ladj(xi)
+    if use_fused_coupling:
+        from ..ops.pallas.coupling import fused_coupling_forward_and_ladj
+        z, ladj = fused_coupling_forward_and_ladj(flow, xi)
+    else:
+        z, ladj = flow.forward_and_ladj(xi)
     n, dim = xi.shape
     elbo = (jnp.sum(logdensity_fn(z)) + jnp.sum(ladj)) / n \
         + 0.5 * (_LOG_2PI + 1.0) * dim
@@ -84,6 +93,10 @@ def optimize_elbo(
     if opt_state is None:
         opt_state = optimizer.init(initial_flow)
 
+    from ..ops.pallas.coupling import is_fusible_coupling_stack
+    fused_c = (mesh is None
+               and is_fusible_coupling_stack(initial_flow, dim, dtype))
+
     def step(carry, i):
         flow, opt_state = carry
         k = jax.random.fold_in(key, i)
@@ -96,7 +109,8 @@ def optimize_elbo(
             from jax.sharding import NamedSharding, PartitionSpec as P
             xi = jax.lax.with_sharding_constraint(
                 xi, NamedSharding(mesh, P(batch_axis)))
-        nelbo, grads = jax.value_and_grad(neg_elbo)(flow, logdensity_fn, xi)
+        nelbo, grads = jax.value_and_grad(neg_elbo)(
+            flow, logdensity_fn, xi, fused_c)
         updates, opt_state = optimizer.update(grads, opt_state, flow)
         flow = optax.apply_updates(flow, updates)
         flow = flow.canonicalize()

@@ -60,6 +60,20 @@ def mvnormal_negll_packed(flow: Bijector, x_flat: jax.Array,
     return -ll
 
 
+def mvnormal_negll_coupling(flow: Bijector, X: jax.Array) -> jax.Array:
+    """negll through the fused coupling-stack kernel
+    (ops.pallas.coupling) — identical value to ``mvnormal_negll``.
+    ``physical_order=True`` is sound here: the isotropic base logpdf and
+    the per-sample ladj are invariant to the kernel's lane order."""
+    from ..ops.pallas.coupling import fused_coupling_forward_and_ladj
+
+    Y, ladj = fused_coupling_forward_and_ladj(flow, X,
+                                              physical_order=True)
+    n = X.shape[0]
+    ll = (jnp.sum(std_normal_logpdf_sum(Y)) + jnp.sum(ladj)) / n
+    return -ll
+
+
 def mvnormal_negll_grad(flow: Bijector, X: jax.Array):
     """(negll, d_flow) — counterpart of mvnormal_negll_trafograd (ref :18-22)."""
     return jax.value_and_grad(mvnormal_negll)(flow, X)
@@ -127,6 +141,7 @@ def optimize_whitening(
     if opt_state is None:
         opt_state = optimizer.init(initial_flow)
 
+    use_fused_coupling = False
     if use_fused is None:
         from ..ops.pallas.elementwise import (PACKED_WIN_MAX_DIM,
                                               is_fusible_chain)
@@ -139,6 +154,17 @@ def optimize_whitening(
                      and dim <= PACKED_WIN_MAX_DIM
                      and is_fusible_chain(initial_flow, dim,
                                           samples.dtype))
+        if not use_fused and mesh is None:
+            # Coupling stacks: the fused whole-stack kernel wins its A/B
+            # at the BASELINE config (1.32x f32, bench_coupling.py); its
+            # custom-vjp backward is the jnp path, so only the forward
+            # half accelerates — still a net win for MXU-dominated
+            # conditioners once the batch amortizes the launch.
+            from ..ops.pallas.coupling import is_fusible_coupling_stack
+            use_fused_coupling = (
+                batch_size * dim >= (1 << 14)
+                and is_fusible_coupling_stack(initial_flow, dim,
+                                              samples.dtype))
     if use_fused:
         # Packed hot loop: batches become flat rows and loss+grads come
         # from the single-pass fused kernel (ops.pallas.elementwise.
@@ -162,6 +188,9 @@ def optimize_whitening(
             flow = optax.apply_updates(flow, updates)
             flow = flow.canonicalize()
             return (flow, opt_state), negll
+    elif use_fused_coupling:
+        step = make_train_step(optimizer,
+                               loss_fn=mvnormal_negll_coupling)
     else:
         step = make_train_step(optimizer)
 

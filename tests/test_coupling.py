@@ -120,3 +120,165 @@ def test_whitening_trains_coupling_on_correlated_gaussian():
     np.testing.assert_allclose(C, np.eye(2), atol=0.12)
     hist = np.asarray(res.negll_history)
     assert hist[-1] < hist[0] - 0.3
+
+
+def _perturbed_stack(key, dim, n_layers=3, hidden=(32, 32), **kw):
+    stack = coupling_stack(jax.random.PRNGKey(key), dim,
+                           n_layers=n_layers, hidden=hidden,
+                           dtype=jnp.float32, **kw)
+    return jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(p.size % 97), p.shape, p.dtype), stack)
+
+
+@pytest.mark.parametrize("dim", [4, 8, 64])
+def test_fused_coupling_kernel_matches_jnp(dim):
+    """The whole-stack fused kernel (ops.pallas.coupling, interpret mode
+    on CPU) matches the jnp path in value, ladj, gradient, and the
+    permute-absorption bookkeeping (logical output order)."""
+    from enflows_tpu.ops.pallas.coupling import (
+        fused_coupling_forward_and_ladj, is_fusible_coupling_stack)
+
+    stack = _perturbed_stack(dim, dim)
+    assert is_fusible_coupling_stack(stack, dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (200, dim), jnp.float32)
+    y1, l1 = stack.forward_and_ladj(x)
+    y2, l2 = fused_coupling_forward_and_ladj(stack, x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=3e-4, atol=3e-4)
+
+    def loss_f(c):
+        y, l = fused_coupling_forward_and_ladj(c, x)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(l)
+
+    def loss_r(c):
+        y, l = c.forward_and_ladj(x)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(l)
+
+    gf = jax.grad(loss_f)(stack)
+    gr = jax.grad(loss_r)(stack)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_coupling_kernel_inverse_roundtrip():
+    """forward and inverse BOTH through the kernel: exact round trip (the
+    inverse recomputes the identical conditioner in-kernel) and negated
+    ladj."""
+    from enflows_tpu.ops.pallas.coupling import (
+        fused_coupling_forward_and_ladj)
+
+    stack = _perturbed_stack(5, 8)
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, 8), jnp.float32)
+    y, l = fused_coupling_forward_and_ladj(stack, x)
+    xb, lb = fused_coupling_forward_and_ladj(stack.inverse(), y)
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lb), -np.asarray(l),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_coupling_template_with_elementwise_stages():
+    """coupling_flow_template chains (ScaleShift/JohnsonInv wrappers
+    around the stack) fuse whole: elementwise stages run in-kernel with
+    permutation-mapped pattern rows."""
+    from enflows_tpu.infer import coupling_flow_template
+    from enflows_tpu.ops.pallas.coupling import (
+        fused_coupling_forward_and_ladj, is_fusible_coupling_stack)
+
+    dim = 6
+    tmpl = coupling_flow_template(3, (16, 16))(dim, jax.random.PRNGKey(3))
+    tmpl = jax.tree.map(
+        lambda p: p + 0.03 * jax.random.normal(
+            jax.random.PRNGKey(p.size % 89), p.shape, p.dtype), tmpl)
+    assert is_fusible_coupling_stack(tmpl, dim)
+    x = jax.random.normal(jax.random.PRNGKey(4), (77, dim), jnp.float32)
+    y1, l1 = tmpl.forward_and_ladj(x)
+    y2, l2 = fused_coupling_forward_and_ladj(tmpl, x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_fused_coupling_fallbacks():
+    """Odd dims, non-half-preserving permutes, and oversized conditioners
+    fall back to the jnp path bitwise."""
+    from enflows_tpu.bijectors import Permute
+    from enflows_tpu.ops.pallas.coupling import (
+        fused_coupling_forward_and_ladj, is_fusible_coupling_stack)
+
+    # Odd dim.
+    s5 = coupling_stack(jax.random.PRNGKey(5), 5, n_layers=2,
+                        hidden=(8, 8))
+    assert not is_fusible_coupling_stack(s5, 5)
+    x5 = jax.random.normal(jax.random.PRNGKey(6), (10, 5), jnp.float32)
+    ya, la = fused_coupling_forward_and_ladj(s5, x5)
+    yb, lb = s5.forward_and_ladj(x5)
+    np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+    # A permute that mixes halves.
+    mix = Permute(perm=(0, 4, 2, 6, 1, 5, 3, 7))
+    s8 = _perturbed_stack(7, 8, n_layers=1)
+    mixed = ef.Chain.of(mix, *s8.stages)
+    assert not is_fusible_coupling_stack(mixed, 8)
+
+
+def test_whitening_trainer_coupling_dispatch_matches_std():
+    """optimize_whitening auto-dispatches coupling stacks to the fused
+    loss (VERDICT r3 next #1 wiring) and converges to the same result as
+    the explicit jnp path."""
+    import optax
+    from enflows_tpu.train import optimize_whitening
+
+    dim = 8
+    key = jax.random.PRNGKey(8)
+    A = jax.random.normal(key, (dim, dim), jnp.float32) * 0.3 \
+        + jnp.eye(dim, dtype=jnp.float32)
+    X = jax.random.normal(jax.random.fold_in(key, 1), (8192, dim),
+                          jnp.float32) @ A.T
+    stack = coupling_stack(jax.random.fold_in(key, 2), dim,
+                           n_layers=2, hidden=(16, 16))
+    r_auto = optimize_whitening(X, stack, optax.adam(3e-3),
+                                nbatches=2, nepochs=3)
+    r_std = optimize_whitening(X, stack, optax.adam(3e-3),
+                               nbatches=2, nepochs=3, use_fused=False)
+    np.testing.assert_allclose(np.asarray(r_auto.negll_history),
+                               np.asarray(r_std.negll_history),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(r_auto.result),
+                    jax.tree.leaves(r_std.result)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_vi_trainer_coupling_dispatch_runs():
+    """optimize_elbo routes unsharded coupling transports through the
+    fused kernel and still fits the target."""
+    import optax
+    from enflows_tpu.train import optimize_elbo
+
+    dim = 4
+    mean = jnp.asarray([1.0, -1.0, 0.5, 0.0], jnp.float32)
+
+    def logp(z):
+        return -0.5 * jnp.sum((z - mean) ** 2, axis=-1)
+
+    stack = coupling_stack(jax.random.PRNGKey(9), dim, n_layers=2,
+                           hidden=(16, 16))
+    # A shift is outside the pure coupling family at identity init unless
+    # the stack trains; couple with a ScaleShift head like the template.
+    flow = ef.Chain.of(ef.ScaleShift(a=jnp.ones(dim, jnp.float32),
+                                     b=jnp.zeros(dim, jnp.float32)),
+                       *stack.stages)
+    res = optimize_elbo(logp, flow, optax.adam(1e-2), dim=dim,
+                        batch_size=256, nsteps=300,
+                        key=jax.random.PRNGKey(10))
+    z = res.result.forward(
+        jax.random.normal(jax.random.PRNGKey(11), (20000, dim),
+                          jnp.float32))
+    np.testing.assert_allclose(np.asarray(z).mean(0), np.asarray(mean),
+                               atol=0.15)

@@ -253,3 +253,41 @@ def test_householder_dense_vs_scan_on_hardware(cpu):
             h64.V, jnp.asarray(np.asarray(x, np.float64)))
     _gate(y_scan, y_dense, y_64, "householder scan", slack=8.0)
     _gate(y_dense, y_scan, y_64, "householder dense", slack=8.0)
+
+
+def test_fused_coupling_stack_on_hardware(cpu):
+    """The whole-stack fused coupling kernel (ops.pallas.coupling) vs the
+    f64 CPU oracle — MXU matmuls at DEFAULT precision are the same
+    numerics class as the jnp path's, so the calibrated gate applies."""
+    from enflows_tpu.bijectors import coupling_stack
+    from enflows_tpu.ops.pallas.coupling import (
+        fused_coupling_forward_and_ladj, is_fusible_coupling_stack)
+
+    dim = 16
+    stack = coupling_stack(jax.random.PRNGKey(20), dim, n_layers=3,
+                           hidden=(64, 64))
+    stack = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(p.size % 97), p.shape, p.dtype), stack)
+    assert is_fusible_coupling_stack(stack, dim)
+    x = jax.random.normal(jax.random.PRNGKey(21), (2048, dim), F)
+
+    y_k, l_k = fused_coupling_forward_and_ladj(stack, x)
+    y_j, l_j = stack.forward_and_ladj(x)
+    with x64_cpu(cpu):
+        y_64, l_64 = to64(stack).forward_and_ladj(
+            jnp.asarray(np.asarray(x, np.float64)))
+    _gate(y_k, y_j, y_64, "coupling y", slack=6.0, floor_rel=1e-3)
+    _gate(l_k, l_j, l_64, "coupling ladj", slack=6.0, floor_rel=1e-3)
+
+    # Round trip through the kernel on hardware: the error floor is
+    # mathematical (affine rounding amplified by e^{|s|} per layer, the
+    # same in any implementation), so the gate is calibrated against the
+    # jnp path's own round-trip error on the identical stack.
+    xb, _ = fused_coupling_forward_and_ladj(stack.inverse(), y_k)
+    xbj = stack.inverse().forward(y_j)
+    e_k = np.abs(np.asarray(xb, np.float64)
+                 - np.asarray(x, np.float64)).max()
+    e_j = np.abs(np.asarray(xbj, np.float64)
+                 - np.asarray(x, np.float64)).max()
+    assert e_k <= max(4.0 * e_j, 1e-4), (e_k, e_j)
