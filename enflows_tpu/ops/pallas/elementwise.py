@@ -86,24 +86,43 @@ FUSIBLE_KINDS = ELEMENTWISE_KINDS + (Householder,)
 PACKED_WIN_MAX_DIM = 64
 
 
+# Largest event dim for the MULTIROW packed layout (d > 128: events span
+# ceil(d/128) consecutive lane rows — VERDICT r3 next #8). Beyond this the
+# per-event row count makes the tile math silly; use the jnp path.
+MAX_MULTIROW_DIM = 2048
+
+
 def event_pad(dim: int) -> int:
-    """Lane stride per event in the packed layout: the smallest divisor of
-    128 that is >= dim. d | 128 -> d itself (fully dense rows); other d <=
-    128 -> the next power-of-two divisor (d=50 -> 64 lanes, 78% lane
-    utilization; d=100 -> 128, 78%), with pad lanes masked out of the ladj
-    reduction and the loss. Raises for d > 128 (not packable in one row)."""
+    """Lane stride per event in the packed layout.
+
+    d <= 128: the smallest divisor of 128 that is >= dim (d | 128 -> d
+    itself, fully dense rows; d=50 -> 64 lanes at 78% utilization), with
+    pad lanes masked out of the ladj reduction and the loss.
+
+    d > 128 (round 4): the MULTIROW layout — each event spans
+    R = ceil(d/128) consecutive lane rows (stride R*128); elementwise
+    stages are lane-position-only so the same kernels apply with (R, 128)
+    pattern blocks, and the per-event ladj folds R masked row sums.
+    Raises above MAX_MULTIROW_DIM."""
     for cand in (1, 2, 4, 8, 16, 32, 64, 128):
         if cand >= dim:
             return cand
-    raise ValueError(f"event dim {dim} > 128: not packable in one lane row")
+    if dim <= MAX_MULTIROW_DIM:
+        return -(-dim // 128) * 128
+    raise ValueError(
+        f"event dim {dim} > {MAX_MULTIROW_DIM}: beyond the multirow "
+        "packed layout — use the jnp path")
 
 
 def is_fusible_chain(chain: Bijector, dim: int, dtype=jnp.float32) -> bool:
     """Fused path: elementwise stages + Householder, d <= 128 (d | 128 runs
     dense; other d pad each event to the next divisor of 128 — see
     ``event_pad``), f32/bf16 (Mosaic has no f64 lowering — f64 falls back
-    to the jnp path)."""
-    if dim > 128:
+    to the jnp path). d in (128, MAX_MULTIROW_DIM]: the MULTIROW layout,
+    ELEMENTWISE stages only — a d > 128 Householder is a (d, d) MXU
+    matmul where XLA's dense path is already at roof and the in-kernel
+    block-diagonal trick no longer fits one lane row."""
+    if dim > MAX_MULTIROW_DIM:
         return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
                                 jnp.dtype(jnp.bfloat16)):
@@ -114,7 +133,8 @@ def is_fusible_chain(chain: Bijector, dim: int, dtype=jnp.float32) -> bool:
         # CPU is unaffected.
         return False
     stages = chain.stages if isinstance(chain, Chain) else (chain,)
-    return all(isinstance(s, FUSIBLE_KINDS) for s in stages)
+    kinds = ELEMENTWISE_KINDS if dim > 128 else FUSIBLE_KINDS
+    return all(isinstance(s, kinds) for s in stages)
 
 
 # ------------------------------------------------------------------
@@ -226,7 +246,9 @@ def _stage_params(stage) -> tuple:
 
 def _pattern_rows(params: Sequence[jax.Array], dim: int, dtype,
                   dp: int | None = None):
-    """Per-dim params (d,) or scalars -> (1, 128) lane-pattern rows.
+    """Per-dim params (d,) or scalars -> lane-pattern blocks: (1, 128)
+    rows for dp <= 128, (R, 128) blocks for the multirow layout (the
+    kernel tiles them down the batch rows).
 
     Pure jnp gathers, so this is differentiable: grads w.r.t. a pattern row
     scatter-add back onto the original (d,) parameter. With ``dp > dim``
@@ -236,13 +258,18 @@ def _pattern_rows(params: Sequence[jax.Array], dim: int, dtype,
     cotangents), so nothing spurious scatters back.
     """
     dp = dim if dp is None else dp
-    idx = np.minimum(np.arange(128) % dp, dim - 1)
+    if dp <= 128:
+        idx = np.minimum(np.arange(128) % dp, dim - 1)
+        shape = (1, 128)
+    else:
+        idx = np.minimum(np.arange(dp), dim - 1)
+        shape = (dp // 128, 128)
     rows = []
     for p in params:
         p = jnp.asarray(p, dtype)
         if p.ndim == 0:
             p = jnp.full((dim,), p, dtype)
-        rows.append(p[idx][None, :])
+        rows.append(p[idx].reshape(shape))
     return rows
 
 
@@ -269,7 +296,26 @@ def _householder_blockdiag(stage: Householder, dim: int, dtype,
     return (QT_big * mask + eye_pad).astype(dtype)
 
 
-def _build_kernel(stage_types, nparams_per_stage, dim):
+def _expand_pattern(p, T):
+    """Tile an (R, 128) multirow pattern block down a (T, 128) tile;
+    (1, 128) rows broadcast as-is."""
+    if p.shape[0] == 1 or p.shape[0] == T:
+        return p
+    return jnp.tile(p, (T // p.shape[0], 1))
+
+
+def _multirow_mask(dim, dp, T):
+    """(T, 128) validity mask for the multirow layout: lane position
+    (row % R)*128 + col within the event is real iff < dim."""
+    R = dp // 128
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, 128), 1)
+    return (((rows % R) * 128 + cols) < dim).astype(jnp.float32)
+
+
+def _build_kernel(stage_types, nparams_per_stage, dim, dp):
+    multirow = dp > 128
+
     def kernel(x_ref, seg_ref, *refs):
         y_ref, ladj_ref = refs[-2], refs[-1]
         prefs = refs[:-2]
@@ -277,6 +323,7 @@ def _build_kernel(stage_types, nparams_per_stage, dim):
         # HBM traffic; the VPU transcendentals run f32 either way, and
         # storing f32 intermediates to a bf16 ref is invalid on hardware.
         t = x_ref[:].astype(jnp.float32)
+        T = t.shape[0]
         acc = None
         i = 0
         for st, np_ in zip(stage_types, nparams_per_stage):
@@ -288,12 +335,20 @@ def _build_kernel(stage_types, nparams_per_stage, dim):
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
                 continue             # orthogonal: ladj contribution is 0
+            if multirow:
+                params = [_expand_pattern(p, T) for p in params]
             t, elem = _APPLY[st](t, *params)
             elem = jnp.broadcast_to(elem, t.shape)
             acc = elem if acc is None else acc + elem
         y_ref[:] = t.astype(y_ref.dtype)
         if acc is None:
             ladj_ref[:] = jnp.zeros_like(ladj_ref)
+        elif multirow:
+            # Masked per-ROW sums; the host folds each event's R rows
+            # (cheap: one (n, R) sum on a tiny array).
+            acc = acc * _multirow_mask(dim, dp, T)
+            ladj_ref[:] = jnp.sum(acc, axis=1,
+                                  keepdims=True).astype(ladj_ref.dtype)
         else:
             # Per-sample segment reduction over runs of d lanes: one small
             # (128, 128/d) 0/1 matmul (HIGHEST precision, see module doc).
@@ -389,13 +444,18 @@ def _fused_packed_impl(static, x_flat, flat_params):
     ladj (n,)); dp = event lane stride (== dim when d | 128)."""
     stage_types, nparams, dim, dp, tile_m = (static + (_TILE_ROWS,))[:5]
     dtype = x_flat.dtype
-    spd = 128 // dp
+    multirow = dp > 128
+    R = dp // 128 if multirow else 1
+    spd = 1 if multirow else 128 // dp       # ladj slots per lane row
     total = x_flat.shape[0]
     n = total // dp
     rows = -(-total // 128)
     # Don't pad small batches up to a huge tile: shrink the tile to the
     # 8-sublane-aligned row count when the batch is smaller than one tile.
-    tile_m = min(tile_m, -(-rows // 8) * 8)
+    # Multirow: the tile must hold whole events (R | tile_m).
+    align = (8 * R // np.gcd(8, R)) if multirow else 8   # lcm(8, R)
+    tile_m = min(tile_m, -(-rows // align) * align)
+    tile_m = -(-tile_m // align) * align
     rows_padded = -(-rows // tile_m) * tile_m
     pad = rows_padded * 128 - total
     # Pad with ones, not zeros: several stage gradients are singular at
@@ -404,13 +464,15 @@ def _fused_packed_impl(static, x_flat, flat_params):
             if pad else x_flat)
     xt = flat.reshape(rows_padded, 128)
 
-    seg = _seg_matrix(dim, dp)
+    # Multirow masks in-kernel via iota; the seg matmul is the <= 128 path.
+    seg = (jnp.zeros((128, 1), jnp.float32) if multirow
+           else _seg_matrix(dim, dp))
 
     grid = (rows_padded // tile_m,)
     in_specs = [
         pl.BlockSpec((tile_m, 128), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((128, spd), lambda i: (0, 0),
+        pl.BlockSpec(seg.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     for p in flat_params:
@@ -422,7 +484,7 @@ def _fused_packed_impl(static, x_flat, flat_params):
         pl.BlockSpec((tile_m, spd), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     )
-    kernel = _build_kernel(stage_types, nparams, dim)
+    kernel = _build_kernel(stage_types, nparams, dim, dp)
     y_t, ladj_t = pl.pallas_call(
         kernel,
         grid=grid,
@@ -436,7 +498,12 @@ def _fused_packed_impl(static, x_flat, flat_params):
     )(xt, seg, *flat_params)
 
     y_flat = y_t.reshape(-1)[:total]
-    ladj = ladj_t.reshape(-1)[:n].astype(dtype)
+    if multirow:
+        # Fold each event's R masked row sums (tiny (n, R) reduction).
+        ladj = ladj_t.reshape(-1)[: n * R].reshape(n, R).sum(-1) \
+            .astype(dtype)
+    else:
+        ladj = ladj_t.reshape(-1)[:n].astype(dtype)
     return y_flat, ladj
 
 
@@ -467,7 +534,7 @@ def _fused_packed_op(dimdp, chain, x_flat):
                                    x_flat, flat_params)
 
 
-def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
+def _build_bwd_kernel(stage_types, nparams_per_stage, dim, dp):
     """Fused backward: one tile pass computes gx AND all param grads.
 
     The forward is recomputed tile-resident (inputs of every stage stay in
@@ -484,6 +551,8 @@ def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
     pattern-row construction.
     """
 
+    multirow = dp > 128
+
     def kernel(x_ref, segT_ref, gy_ref, gladj_ref, *refs):
         nstages = len(stage_types)
         n_params_total = sum(nparams_per_stage)
@@ -495,6 +564,7 @@ def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
         # f32 internal compute regardless of storage dtype (see
         # _build_kernel); cotangents likewise.
         t = x_ref[:].astype(jnp.float32)
+        T = t.shape[0]
         inputs = []
         i = 0
         all_params = []
@@ -509,13 +579,21 @@ def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
             else:
-                t, _ = _APPLY[st](t, *params)
+                ps = [_expand_pattern(p, T) for p in params] \
+                    if multirow else params
+                t, _ = _APPLY[st](t, *ps)
 
-        # Ladj cotangent per element: (tile, spd) @ (spd, 128).
-        ce = jax.lax.dot(gladj_ref[:].astype(jnp.float32),
-                         segT_ref[:].astype(jnp.float32),
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
+        if multirow:
+            # gladj arrives per ROW (each event's cotangent repeated R
+            # times); mask selects the real lanes of each row position.
+            ce = gladj_ref[:].astype(jnp.float32) \
+                * _multirow_mask(dim, dp, T)
+        else:
+            # Ladj cotangent per element: (tile, spd) @ (spd, 128).
+            ce = jax.lax.dot(gladj_ref[:].astype(jnp.float32),
+                             segT_ref[:].astype(jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
         cy = gy_ref[:].astype(jnp.float32)
 
         # Backward sweep; vjp at trace time emits stage adjoints.
@@ -538,6 +616,11 @@ def _build_bwd_kernel(stage_types, nparams_per_stage, dim):
                 pg_out[pidx] = cB
             else:
                 def f_e(t, *ps):
+                    # Multirow pattern blocks tile INSIDE the
+                    # differentiated fn, so their cotangents come back
+                    # already folded to (R, 128).
+                    if multirow:
+                        ps = [_expand_pattern(p, t.shape[0]) for p in ps]
                     y, e = _APPLY[st](t, *ps)
                     return y, jnp.broadcast_to(e, t.shape)
 
@@ -563,13 +646,18 @@ def _fused_packed_bwd_impl(static, x_flat, flat_params, gy_flat, gladj):
     stage_types, nparams, dim, dp, tile_m = \
         (static + (_TILE_ROWS_BWD,))[:5]
     dtype = x_flat.dtype
-    spd = 128 // dp
+    multirow = dp > 128
+    R = dp // 128 if multirow else 1
+    spd = 1 if multirow else 128 // dp
     total = x_flat.shape[0]
     n = total // dp
     rows = -(-total // 128)
     # Don't pad small batches up to a huge tile: shrink the tile to the
     # 8-sublane-aligned row count when the batch is smaller than one tile.
-    tile_m = min(tile_m, -(-rows // 8) * 8)
+    # Multirow: whole events per tile (R | tile_m).
+    align = (8 * R // np.gcd(8, R)) if multirow else 8   # lcm(8, R)
+    tile_m = min(tile_m, -(-rows // align) * align)
+    tile_m = -(-tile_m // align) * align
     rows_padded = -(-rows // tile_m) * tile_m
     num_tiles = rows_padded // tile_m
 
@@ -580,15 +668,20 @@ def _fused_packed_bwd_impl(static, x_flat, flat_params, gy_flat, gladj):
           ).reshape(rows_padded, 128)
     gyt = (jnp.pad(gy_flat, (0, pad)) if pad else gy_flat
            ).reshape(rows_padded, 128)
-    gl = jnp.pad(gladj.astype(jnp.float32),
-                 (0, rows_padded * spd - n)).reshape(rows_padded, spd)
-
-    segT = _seg_matrix(dim, dp).T
+    if multirow:
+        # Per-row event cotangents: each event's gladj repeated R times.
+        gl = jnp.pad(jnp.repeat(gladj.astype(jnp.float32), R),
+                     (0, rows_padded - n * R)).reshape(rows_padded, 1)
+        segT = jnp.zeros((1, 128), jnp.float32)    # unused in-kernel
+    else:
+        gl = jnp.pad(gladj.astype(jnp.float32),
+                     (0, rows_padded * spd - n)).reshape(rows_padded, spd)
+        segT = _seg_matrix(dim, dp).T
 
     in_specs = [
         pl.BlockSpec((tile_m, 128), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((spd, 128), lambda i: (0, 0),
+        pl.BlockSpec(segT.shape, lambda i: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_m, 128), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -610,7 +703,7 @@ def _fused_packed_bwd_impl(static, x_flat, flat_params, gy_flat, gladj):
                          lambda i: (i,) + (0,) * len(p.shape),
                          memory_space=pltpu.VMEM))
 
-    kernel = _build_bwd_kernel(stage_types, nparams, dim)
+    kernel = _build_bwd_kernel(stage_types, nparams, dim, dp)
 
     # Kernel writes (1, *p.shape) blocks; wrap to match by reshaping refs —
     # pallas delivers the block with the leading 1, so write val[None].
@@ -676,8 +769,12 @@ def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, dp,
         cols = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 128), 1)
         flat_idx = (i * tile_m + rows) * 128 + cols
         # Real elements only: inside the batch AND on a non-pad event lane.
+        # Real elements only: inside the batch AND on a real event lane
+        # (flat_idx % dp covers both the <= 128 padded-event layout and
+        # the multirow layout, where events span dp = R*128 elements).
         emask = ((flat_idx < total)
-                 & (cols % dp < dim)).astype(jnp.float32)
+                 & (flat_idx % dp < dim)).astype(jnp.float32)
+        multirow = dp > 128
 
         # Forward, storing stage inputs tile-resident (f32 internal
         # compute regardless of storage dtype, see _build_kernel).
@@ -696,7 +793,9 @@ def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, dp,
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
             else:
-                t, elem = _APPLY[st](t, *params)
+                ps = [_expand_pattern(p, tile_m) for p in params] \
+                    if multirow else params
+                t, elem = _APPLY[st](t, *ps)
                 elem = jnp.broadcast_to(elem, t.shape)
                 acc = elem if acc is None else acc + elem
 
@@ -730,6 +829,10 @@ def _build_negll_grad_kernel(stage_types, nparams_per_stage, dim, dp,
                 pg_out[pidx] = cB
             else:
                 def f_e(tt, *ps):
+                    # Multirow pattern blocks tile inside the
+                    # differentiated fn -> cotangents fold to (R, 128).
+                    if multirow:
+                        ps = [_expand_pattern(p, tt.shape[0]) for p in ps]
                     y, e = _APPLY[st](tt, *ps)
                     return y, jnp.broadcast_to(e, tt.shape)
 
@@ -756,7 +859,11 @@ def _fused_negll_grad_impl(static, x_flat, flat_params):
     rows = -(-total // 128)
     # Don't pad small batches up to a huge tile: shrink the tile to the
     # 8-sublane-aligned row count when the batch is smaller than one tile.
-    tile_m = min(tile_m, -(-rows // 8) * 8)
+    # Multirow pattern blocks tile down the rows, so R | tile_m.
+    R = dp // 128 if dp > 128 else 1
+    align = 8 * R // np.gcd(8, R)                        # lcm(8, R)
+    tile_m = min(tile_m, -(-rows // align) * align)
+    tile_m = -(-tile_m // align) * align
     rows_padded = -(-rows // tile_m) * tile_m
     num_tiles = rows_padded // tile_m
     pad = rows_padded * 128 - total
@@ -841,7 +948,6 @@ def _packed_jnp_forward(stage_types, nparams, dim, dp, x_flat, flat_params):
     """
     total = x_flat.shape[0]
     n = total // dp
-    spd = 128 // dp
     rows = -(-total // 128)
     pad = rows * 128 - total
     flat = jnp.pad(x_flat, (0, pad), constant_values=1.0) if pad else x_flat
@@ -856,6 +962,9 @@ def _packed_jnp_forward(stage_types, nparams, dim, dp, x_flat, flat_params):
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
             continue
+        if dp > 128:
+            params = [jnp.tile(p, (rows // p.shape[0], 1))
+                      if p.shape[0] > 1 else p for p in params]
         t, elem = _APPLY[st](t, *params)
         elem = jnp.broadcast_to(elem, t.shape)
         acc = elem if acc is None else acc + elem
@@ -863,7 +972,9 @@ def _packed_jnp_forward(stage_types, nparams, dim, dp, x_flat, flat_params):
     if acc is None:
         ladj = jnp.zeros((n,), x_flat.dtype)
     else:
-        ladj = acc.reshape(rows * spd, dp)[:, :dim] \
+        # Per-event fold works for both layouts: events are contiguous
+        # runs of dp flattened elements (rows*128 is divisible by dp).
+        ladj = acc.reshape(-1, dp)[:, :dim] \
             .sum(-1)[:n].astype(x_flat.dtype)
     return y_flat, ladj
 
@@ -930,6 +1041,16 @@ def fused_forward_and_ladj_packed(chain: Bijector, x_flat: jax.Array,
 # forces Mosaic into padded sublane layouts that forgo everything the
 # packed layout wins. Coverage is: packed kernel for d <= 128 (padded
 # events), jnp/XLA beyond.
+
+
+# One-shot standard-layout dispatch pays a physical relayout per call and
+# measures 0.34-0.69x vs jnp at EVERY dim (round 3, BASELINE.md crossover
+# caveat) — so the public convenience entry defaults to the jnp path, and
+# PACKED_WIN_MAX_DIM governs only packed-layout hot-loop dispatch
+# (optimize_whitening, packed callers). ADVICE r3. force_packed=True
+# exercises the kernel through this entry regardless (tests;
+# relayout-free callers).
+ONESHOT_PACKED_MAX_DIM = 0
 
 
 def fused_forward_and_ladj(chain: Bijector, x: jax.Array,

@@ -418,3 +418,78 @@ def test_oneshot_standard_layout_defaults_to_jnp():
     # Kernel path: equal within tolerance but a different computation.
     np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("d", [200, 256, 384, 1000])
+def test_multirow_packed_dims_match_jnp(d):
+    """d > 128: the MULTIROW packed layout (events spanning ceil(d/128)
+    lane rows, (R, 128) pattern blocks, masked per-row ladj fold) must
+    match the jnp path in value and gradient through BOTH backward paths,
+    and the single-pass train kernel — VERDICT r3 next #8 (large-event
+    configs are no longer silently jnp-only)."""
+    from enflows_tpu.ops.pallas import elementwise as EW
+    from enflows_tpu.ops.pallas.elementwise import (
+        event_pad, fused_negll_value_and_grad)
+    from enflows_tpu.train.whitening import mvnormal_negll
+
+    v = lambda val: jnp.full((d,), val, F)
+    key = jax.random.PRNGKey(d)
+    chain = ef.compose(
+        ef.Johnson(gamma=v(0.3), delta=v(5.0), xi=v(0.0), lam=v(5.0)),
+        ef.invert(ef.CenterStretch(a=v(1.0), b=v(1.5), c=v(0.1))),
+        ef.ScaleShift(a=1.0 + 0.5 * jax.random.uniform(key, (d,), F),
+                      b=v(-0.2)),
+    )
+    assert is_fusible_chain(chain, d, F)
+    assert event_pad(d) == -(-d // 128) * 128
+
+    n = 53
+    x = jax.random.normal(jax.random.fold_in(key, 1), (n, d), F)
+    y1, l1 = chain.forward_and_ladj(x)
+    yf, lf = fused_forward_and_ladj_packed(chain, x.reshape(-1), d)
+    np.testing.assert_allclose(np.asarray(yf).reshape(n, d),
+                               np.asarray(y1), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(l1),
+                               rtol=3e-4, atol=3e-4)
+
+    def loss_f(c):
+        y, l = fused_forward_and_ladj_packed(c, x.reshape(-1), d)
+        return jnp.sum(jnp.cos(y)) + jnp.sum(l)
+
+    def loss_r(c):
+        y, l = c.forward_and_ladj(x)
+        return jnp.sum(jnp.cos(y.reshape(-1))) + jnp.sum(l)
+
+    gr = jax.grad(loss_r)(chain)
+    for mode in (False, "force"):       # jnp-mirror AND Pallas backward
+        old = EW._PALLAS_BACKWARD
+        try:
+            EW._PALLAS_BACKWARD = mode
+            gf = jax.grad(loss_f)(chain)
+        finally:
+            EW._PALLAS_BACKWARD = old
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-4, atol=3e-4)
+
+    v_ref, g_ref = jax.value_and_grad(mvnormal_negll)(chain, x)
+    vk, gk = fused_negll_value_and_grad(chain, x.reshape(-1), d)
+    np.testing.assert_allclose(float(vk), float(v_ref), rtol=3e-5)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_multirow_householder_not_fusible():
+    """d > 128 chains containing Householder stay on the jnp path (the
+    dense (d, d) MXU matmul is XLA's to schedule there)."""
+    d = 256
+    h = ef.Householder(V=jax.random.normal(jax.random.PRNGKey(0),
+                                           (4, d), F)).canonicalize()
+    c = ef.compose(ef.ScaleShift(a=jnp.ones(d, F), b=jnp.zeros(d, F)), h)
+    assert not is_fusible_chain(c, d, F)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, d), F)
+    ya, la = fused_forward_and_ladj_packed(c, x.reshape(-1), d)
+    yb, lb = c.forward_and_ladj(x)
+    np.testing.assert_array_equal(np.asarray(ya).reshape(8, d),
+                                  np.asarray(yb))
