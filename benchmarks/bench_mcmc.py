@@ -244,6 +244,53 @@ def bench_lockstep_tax(num_chains=128, num_warmup=400, num_samples=600):
     return results
 
 
+def bench_fused_nuts(num_chains=128, dim=50, num_warmup=300,
+                     num_samples=500):
+    """Fused-gradient NUTS A/B (VERDICT r3 next #4, second half): on a
+    fusible FlowPushforwardTarget, NUTS leaf gradients route through one
+    packed Pallas forward+backward per leapfrog step for all chains
+    (FlowPushforwardTarget.batched_value_and_grad custom_vmap) instead of
+    an XLA chain per leaf. Compare against the same target sampled as an
+    opaque callable (the standard path)."""
+    from enflows_tpu.mcmc import FlowPushforwardTarget
+
+    v = lambda val: jnp.full((dim,), val, jnp.float32)
+    transport = ef.compose(
+        ef.ScaleShift(a=1.0 + 0.5 * jax.random.uniform(
+            jax.random.PRNGKey(0), (dim,), jnp.float32), b=v(0.3)),
+        ef.invert(ef.Johnson(gamma=v(0.0), delta=v(5.0), xi=v(0.0),
+                             lam=v(5.0))),
+        ef.invert(ef.CenterStretch(a=v(0.2), b=v(1.5), c=v(0.0))),
+    )
+    target = FlowPushforwardTarget(transport)
+    assert target.fused_kernel_available(dim)
+    opaque = lambda q: target(q)       # hides the structure -> std path
+
+    def run(logp, seed):
+        t0 = time.time()
+        s, _, st = sample(logp, jax.random.PRNGKey(seed), dim=dim,
+                          num_chains=num_chains, num_warmup=num_warmup,
+                          num_samples=num_samples, dtype=jnp.float32)
+        jax.block_until_ready(s)
+        return time.time() - t0, s, st
+
+    run(target, 0)                     # compile
+    t_fused, s_f, st_f = run(target, 1)
+    run(opaque, 0)
+    t_std, s_s, st_s = run(opaque, 1)
+    grads = float(np.asarray(st_f.num_steps, np.float64).max(1).sum()
+                  * num_chains)
+    ess_f = float(ess_per_dim(s_f).min())
+    ess_s = float(ess_per_dim(s_s).min())
+    print(f"[fused-nuts] {num_chains} chains x {dim}D fusible target: "
+          f"std {t_std:.2f}s ({ess_s/t_std:.0f} min-ESS/s) | fused-vg "
+          f"{t_fused:.2f}s ({ess_f/t_fused:.0f} min-ESS/s, "
+          f"{t_std/t_fused:.2f}x wall)", file=sys.stderr)
+    return {"speedup_wall": round(t_std / t_fused, 2),
+            "min_ess_per_s_std": round(ess_s / t_std, 1),
+            "min_ess_per_s_fused": round(ess_f / t_fused, 1)}
+
+
 def bench_leapfrog(num_chains=8192, dim=50, num_steps=64, iters=20):
     """Raw per-chip leapfrog+log-prob throughput on a 50D Gaussian."""
     prec = jnp.eye(dim, dtype=jnp.float32)
@@ -342,6 +389,7 @@ def main():
     st_chees, chees_epk = bench_chees(args.chains)
     st_pre = bench_preconditioned(args.chains)
     lockstep = bench_lockstep_tax(args.chains)
+    fused_nuts = bench_fused_nuts(args.chains)
     lf = bench_leapfrog()
     lf_fused, fused_speedup = bench_fused_leapfrog()
     # Decompose the ChEES-vs-NUTS ESS/s headline (VERDICT r3 weak #4):
@@ -355,6 +403,7 @@ def main():
         "chees_raw_min_ess_per_s": st_chees,
         "nuts_precond_min_ess_per_s": st_pre,
         "nuts_lockstep": lockstep,
+        "fused_nuts": fused_nuts,
         "chees_ess_per_kgrad": round(chees_epk, 3),
         "chees_vs_nuts_ess_per_s": round(
             st_chees["median"] / st_raw["median"], 1),

@@ -71,10 +71,15 @@ def leapfrog(value_grad_fn: Callable, q, p, grad, step_size, inv_mass_diag,
 
 
 def hmc_kernel(logdensity_fn: Callable, num_steps: int = 32,
-               divergence_threshold: float = 1000.0):
+               divergence_threshold: float = 1000.0,
+               value_and_grad_fn: Callable | None = None):
     """Build a one-transition HMC kernel:
-    (key, state, step_size, inv_mass_diag) -> (state, info)."""
-    value_grad_fn = jax.value_and_grad(logdensity_fn)
+    (key, state, step_size, inv_mass_diag) -> (state, info).
+    ``value_and_grad_fn`` overrides ``jax.value_and_grad(logdensity_fn)``
+    — e.g. a ``custom_vmap`` that batches chain gradients through the
+    fused Pallas kernels (FlowPushforwardTarget.batched_value_and_grad).
+    """
+    value_grad_fn = value_and_grad_fn or jax.value_and_grad(logdensity_fn)
 
     def kernel(key, state: HMCState, step_size, inv_mass_diag):
         key_mom, key_acc = jax.random.split(key)

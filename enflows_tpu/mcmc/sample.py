@@ -160,10 +160,20 @@ def _sample_impl(logdensity_fn, key, initial_position, *, num_warmup,
                  num_samples, num_chains, dim, max_depth, algorithm,
                  num_steps, initial_step_size, target_accept,
                  metrics=None):
+    # Targets declaring flow-pushforward structure provide a custom_vmap
+    # value-and-grad whose batched rule runs the fused Pallas fwd+bwd
+    # kernels once per leapfrog step for ALL chains (logdensity.
+    # FlowPushforwardTarget.batched_value_and_grad) — NUTS/HMC trees on
+    # fusible targets stop paying an XLA chain per leaf.
+    vg_builder = getattr(logdensity_fn, "batched_value_and_grad", None)
+    vg_fn = (vg_builder(dim, initial_position.dtype)
+             if vg_builder is not None else None)
     if algorithm == "nuts":
-        kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
+        kernel = nuts_kernel(logdensity_fn, max_depth=max_depth,
+                             value_and_grad_fn=vg_fn)
     else:
-        kernel = hmc_kernel(logdensity_fn, num_steps=num_steps)
+        kernel = hmc_kernel(logdensity_fn, num_steps=num_steps,
+                            value_and_grad_fn=vg_fn)
     k_init, k_warm, k_samp = jax.random.split(key, 3)
     states = jax.vmap(lambda q: init_state(logdensity_fn, q))(
         initial_position)

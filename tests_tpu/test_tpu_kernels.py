@@ -291,3 +291,73 @@ def test_fused_coupling_stack_on_hardware(cpu):
     e_j = np.abs(np.asarray(xbj, np.float64)
                  - np.asarray(x, np.float64)).max()
     assert e_k <= max(4.0 * e_j, 1e-4), (e_k, e_j)
+
+
+def test_multirow_packed_on_hardware(cpu):
+    """d > 128 multirow layout on the chip: fwd/ladj and the Pallas
+    backward vs the f64 CPU oracle (round-4 layout; CPU interpret mode
+    cannot see its Mosaic lowering)."""
+    from enflows_tpu.ops.pallas.elementwise import (
+        fused_forward_and_ladj_packed, is_fusible_chain)
+
+    d = 256
+    v = lambda val: jnp.full((d,), val, F)
+    key = jax.random.PRNGKey(30)
+    chain = ef.compose(
+        ef.Johnson(gamma=v(0.3), delta=v(5.0), xi=v(0.0), lam=v(5.0)),
+        ef.invert(ef.CenterStretch(a=v(1.0), b=v(1.5), c=v(0.1))),
+        ef.ScaleShift(a=1.0 + 0.5 * jax.random.uniform(key, (d,), F),
+                      b=v(-0.2)),
+    )
+    assert is_fusible_chain(chain, d, F)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (1024, d), F)
+    y_k, l_k = fused_forward_and_ladj_packed(chain, x.reshape(-1), d)
+    y_j, l_j = chain.forward_and_ladj(x)
+    with x64_cpu(cpu):
+        y_64, l_64 = to64(chain).forward_and_ladj(
+            jnp.asarray(np.asarray(x, np.float64)))
+    _gate(np.asarray(y_k).reshape(1024, d), y_j, y_64, "multirow y")
+    _gate(l_k, l_j, l_64, "multirow ladj")
+
+    def loss_k(c):
+        y, l = fused_forward_and_ladj_packed(c, x.reshape(-1), d)
+        return jnp.sum(jnp.sin(y)) + jnp.sum(l * l)
+
+    def loss_j(c):
+        y, l = c.forward_and_ladj(x)
+        return jnp.sum(jnp.sin(y.reshape(-1))) + jnp.sum(l * l)
+
+    gk = jax.grad(loss_k)(chain)
+    gj = jax.grad(loss_j)(chain)
+    with x64_cpu(cpu):
+        g64 = jax.grad(loss_j)(to64(chain))
+    for a, b, c in zip(jax.tree.leaves(gk), jax.tree.leaves(gj),
+                       jax.tree.leaves(g64)):
+        _gate(a, b, c, "multirow grad", slack=6.0, floor_rel=5e-5)
+
+
+def test_fused_vg_route_on_hardware(cpu):
+    """FlowPushforwardTarget.batched_value_and_grad (the NUTS/HMC fused
+    gradient route) on the chip vs f64 CPU oracles."""
+    from enflows_tpu.mcmc import FlowPushforwardTarget
+
+    d = 50
+    v = lambda val: jnp.full((d,), val, F)
+    transport = ef.compose(
+        ef.ScaleShift(a=1.0 + 0.5 * jax.random.uniform(
+            jax.random.PRNGKey(31), (d,), F), b=v(0.3)),
+        ef.invert(ef.Johnson(gamma=v(0.0), delta=v(5.0), xi=v(0.0),
+                             lam=v(5.0))),
+    )
+    target = FlowPushforwardTarget(transport)
+    vg = target.batched_value_and_grad(d)
+    assert vg is not None
+    q = jax.random.normal(jax.random.PRNGKey(32), (256, d), F)
+    lp_k, g_k = jax.vmap(vg)(q)
+    lp_j, g_j = jax.vmap(jax.value_and_grad(target.__call__))(q)
+    with x64_cpu(cpu):
+        t64 = FlowPushforwardTarget(to64(transport))
+        lp64, g64 = jax.vmap(jax.value_and_grad(t64.__call__))(
+            jnp.asarray(np.asarray(q, np.float64)))
+    _gate(lp_k, lp_j, lp64, "vg logp", slack=6.0, floor_rel=1e-4)
+    _gate(g_k, g_j, g64, "vg grad", slack=6.0, floor_rel=1e-4)
