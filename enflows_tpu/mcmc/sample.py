@@ -165,9 +165,12 @@ def _sample_impl(logdensity_fn, key, initial_position, *, num_warmup,
     # kernels once per leapfrog step for ALL chains (logdensity.
     # FlowPushforwardTarget.batched_value_and_grad) — NUTS/HMC trees on
     # fusible targets stop paying an XLA chain per leaf.
+    # TPU-only: interpret-mode pallas per tree leaf would crawl on CPU
+    # (the route is oracle-gated in tests_tpu and by direct vg tests).
     vg_builder = getattr(logdensity_fn, "batched_value_and_grad", None)
     vg_fn = (vg_builder(dim, initial_position.dtype)
-             if vg_builder is not None else None)
+             if vg_builder is not None
+             and jax.default_backend() == "tpu" else None)
     if algorithm == "nuts":
         kernel = nuts_kernel(logdensity_fn, max_depth=max_depth,
                              value_and_grad_fn=vg_fn)

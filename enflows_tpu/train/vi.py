@@ -75,6 +75,7 @@ def optimize_elbo(
     batch_axis: str = "batch",
     dtype=jnp.float32,
     metrics=None,
+    use_fused_coupling: bool | None = None,
 ) -> VIResult:
     """Fit a flow transport to an unnormalized log-density by ELBO ascent.
 
@@ -93,9 +94,18 @@ def optimize_elbo(
     if opt_state is None:
         opt_state = optimizer.init(initial_flow)
 
+    # Auto (None) is TPU-only: interpret-mode pallas in the VI scan is
+    # ~100x slow on CPU; True forces the fused path on any backend
+    # (tests), False forces jnp.
     from ..ops.pallas.coupling import is_fusible_coupling_stack
-    fused_c = (mesh is None
-               and is_fusible_coupling_stack(initial_flow, dim, dtype))
+    if use_fused_coupling is None:
+        fused_c = (mesh is None
+                   and jax.default_backend() == "tpu"
+                   and is_fusible_coupling_stack(initial_flow, dim,
+                                                 dtype))
+    else:
+        fused_c = bool(use_fused_coupling) and is_fusible_coupling_stack(
+            initial_flow, dim, dtype)
 
     def step(carry, i):
         flow, opt_state = carry

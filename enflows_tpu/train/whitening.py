@@ -113,7 +113,7 @@ def optimize_whitening(
     negll_history: jax.Array | None = None,
     mesh: Mesh | None = None,
     batch_axis: str = "batch",
-    use_fused: bool | None = None,
+    use_fused: bool | str | None = None,
     metrics=None,
 ) -> WhiteningResult:
     """Fit ``initial_flow`` so that it whitens ``samples``.
@@ -142,7 +142,9 @@ def optimize_whitening(
         opt_state = optimizer.init(initial_flow)
 
     use_fused_coupling = False
-    if use_fused is None:
+    if use_fused == "coupling":        # explicit opt-in (tests; any
+        use_fused, use_fused_coupling = False, True  # backend)
+    elif use_fused is None:
         from ..ops.pallas.elementwise import (PACKED_WIN_MAX_DIM,
                                               is_fusible_chain)
         # Fixed per-step pallas dispatch cost only amortizes on large
@@ -154,12 +156,15 @@ def optimize_whitening(
                      and dim <= PACKED_WIN_MAX_DIM
                      and is_fusible_chain(initial_flow, dim,
                                           samples.dtype))
-        if not use_fused and mesh is None:
+        if not use_fused and mesh is None \
+                and jax.default_backend() == "tpu":
             # Coupling stacks: the fused whole-stack kernel wins its A/B
-            # at the BASELINE config (1.32x f32, bench_coupling.py); its
+            # at the BASELINE config (1.45x f32, bench_coupling.py); its
             # custom-vjp backward is the jnp path, so only the forward
             # half accelerates — still a net win for MXU-dominated
-            # conditioners once the batch amortizes the launch.
+            # conditioners once the batch amortizes the launch. TPU-only:
+            # interpret-mode pallas inside a training scan is ~100x slow
+            # on CPU (correctness tests opt in explicitly).
             from ..ops.pallas.coupling import is_fusible_coupling_stack
             use_fused_coupling = (
                 batch_size * dim >= (1 << 14)

@@ -24,3 +24,21 @@ jax.config.update("jax_enable_x64", True)  # high-precision oracles in tests
 # machine features perturbs f64 results by ~1 ULP, breaking the bit-for-bit
 # multi-process/single-process equivalence gates (test_multiprocess.py).
 jax.config.update("jax_enable_compilation_cache", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Reset JAX's in-process caches after each test module.
+
+    Measured round 4: with hundreds of accumulated compiled programs,
+    XLA-CPU compilation degrades ~25x deep into a single-process run of
+    the whole suite (a grad compile that takes 18 s in a fresh process
+    took 8+ min mid-suite), blowing the suite from ~20 to ~60+ minutes.
+    Clearing per module keeps every module's compile times at their
+    fresh-process cost; cross-module compile reuse was negligible by
+    comparison.
+    """
+    yield
+    jax.clear_caches()

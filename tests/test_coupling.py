@@ -228,9 +228,9 @@ def test_fused_coupling_fallbacks():
 
 
 def test_whitening_trainer_coupling_dispatch_matches_std():
-    """optimize_whitening auto-dispatches coupling stacks to the fused
-    loss (VERDICT r3 next #1 wiring) and converges to the same result as
-    the explicit jnp path."""
+    """optimize_whitening's fused coupling loss (VERDICT r3 next #1
+    wiring; auto-dispatched on TPU, use_fused="coupling" forces it on any
+    backend) converges to the same result as the explicit jnp path."""
     import optax
     from enflows_tpu.train import optimize_whitening
 
@@ -243,7 +243,8 @@ def test_whitening_trainer_coupling_dispatch_matches_std():
     stack = coupling_stack(jax.random.fold_in(key, 2), dim,
                            n_layers=2, hidden=(16, 16))
     r_auto = optimize_whitening(X, stack, optax.adam(3e-3),
-                                nbatches=2, nepochs=3)
+                                nbatches=2, nepochs=3,
+                                use_fused="coupling")
     r_std = optimize_whitening(X, stack, optax.adam(3e-3),
                                nbatches=2, nepochs=3, use_fused=False)
     np.testing.assert_allclose(np.asarray(r_auto.negll_history),
@@ -256,8 +257,8 @@ def test_whitening_trainer_coupling_dispatch_matches_std():
 
 
 def test_vi_trainer_coupling_dispatch_runs():
-    """optimize_elbo routes unsharded coupling transports through the
-    fused kernel and still fits the target."""
+    """optimize_elbo's fused coupling route (auto on TPU;
+    use_fused_coupling=True forces it here) still fits the target."""
     import optax
     from enflows_tpu.train import optimize_elbo
 
@@ -276,7 +277,8 @@ def test_vi_trainer_coupling_dispatch_runs():
                        *stack.stages)
     res = optimize_elbo(logp, flow, optax.adam(1e-2), dim=dim,
                         batch_size=256, nsteps=300,
-                        key=jax.random.PRNGKey(10))
+                        key=jax.random.PRNGKey(10),
+                        use_fused_coupling=True)
     z = res.result.forward(
         jax.random.normal(jax.random.PRNGKey(11), (20000, dim),
                           jnp.float32))
