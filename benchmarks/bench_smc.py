@@ -41,17 +41,27 @@ def bench_2d(num_particles=65536):
     # keyed on max_temps, so the warm call must match the timed one)
     smc_sample(log_target, jax.random.PRNGKey(9), dim=2,
                num_particles=num_particles)
-    t0 = time.time()
-    parts, lw, logz, infos = smc_sample(
-        log_target, jax.random.PRNGKey(0), dim=2,
-        num_particles=num_particles)
-    jax.block_until_ready(parts)
-    dt = time.time() - t0
-    err = abs(float(logz) - true_logz)
-    print(f"[smc-2d] {num_particles} particles, {len(infos)} temps, "
-          f"{dt:.2f}s, logZ err {err:.3f}", file=sys.stderr)
-    assert err < 0.2, "correctness gate failed"
-    return num_particles * len(infos) / dt
+
+    def run(seed):
+        t0 = time.time()
+        parts, lw, logz, infos = smc_sample(
+            log_target, jax.random.PRNGKey(seed), dim=2,
+            num_particles=num_particles)
+        jax.block_until_ready(parts)
+        dt = time.time() - t0
+        err = abs(float(logz) - true_logz)
+        assert err < 0.2, "correctness gate failed"
+        return num_particles * len(infos) / dt, len(infos), err
+
+    vals = sorted(run(seed) for seed in range(3))
+    spread = vals[-1][0] / vals[0][0] if vals[0][0] > 0 else float("inf")
+    print(f"[smc-2d] {num_particles} particles, {vals[1][1]} temps, "
+          f"median {vals[1][0]/1e6:.2f}M particle-temps/s "
+          f"(spread {spread:.2f}x), logZ err {vals[1][2]:.3f}",
+          file=sys.stderr)
+    return {"n_runs": 3, "min": round(vals[0][0]),
+            "median": round(vals[1][0]), "max": round(vals[-1][0]),
+            "spread": round(spread, 2)}
 
 
 def bench_ladder_modes(num_particles=65536):
@@ -99,19 +109,28 @@ def bench_100d(num_particles=32768):
     true_logz = dim * 0.5 * np.log(2 * np.pi)
     smc_sample(log_target, jax.random.PRNGKey(9), dim=dim,
                num_particles=num_particles, mutation_steps=8)  # warm
-    t0 = time.time()
-    parts, lw, logz, infos = smc_sample(
-        log_target, jax.random.PRNGKey(0), dim=dim,
-        num_particles=num_particles, mutation_steps=8)
-    jax.block_until_ready(parts)
-    dt = time.time() - t0
-    w = np.asarray(jax.nn.softmax(lw))
-    frac = float((w * (np.asarray(parts)[:, 0] > 0)).sum())
-    err = abs(float(logz) - true_logz)
-    print(f"[smc-100d] {num_particles} particles, {len(infos)} temps, "
-          f"{dt:.2f}s, mode frac {frac:.3f}, logZ err {err:.2f}",
+
+    def run(seed):
+        t0 = time.time()
+        parts, lw, logz, infos = smc_sample(
+            log_target, jax.random.PRNGKey(seed), dim=dim,
+            num_particles=num_particles, mutation_steps=8)
+        jax.block_until_ready(parts)
+        dt = time.time() - t0
+        w = np.asarray(jax.nn.softmax(lw))
+        frac = float((w * (np.asarray(parts)[:, 0] > 0)).sum())
+        err = abs(float(logz) - true_logz)
+        return num_particles * len(infos) / dt, frac, err
+
+    vals = sorted(run(seed) for seed in range(3))
+    spread = vals[-1][0] / vals[0][0] if vals[0][0] > 0 else float("inf")
+    print(f"[smc-100d] {num_particles} particles: median "
+          f"{vals[1][0]/1e6:.2f}M particle-temps/s (spread {spread:.2f}x)"
+          f", mode frac {vals[1][1]:.3f}, logZ err {vals[1][2]:.2f}",
           file=sys.stderr)
-    return num_particles * len(infos) / dt
+    return {"n_runs": 3, "min": round(vals[0][0]),
+            "median": round(vals[1][0]), "max": round(vals[-1][0]),
+            "spread": round(spread, 2)}
 
 
 def bench_transport(num_particles=65536):
@@ -142,8 +161,8 @@ def main():
     pps_100d = bench_100d()
     temps_t = bench_transport()
     print(json.dumps({
-        "smc_2d_particle_temps_per_s": round(pps_2d),
-        "smc_100d_particle_temps_per_s": round(pps_100d),
+        "smc_2d_particle_temps_per_s": pps_2d,
+        "smc_100d_particle_temps_per_s": pps_100d,
         "smc_transport_temps": temps_t,
         "smc_ladder_in_graph_saving_ms": round(ladder_saving * 1e3, 1),
     }))
