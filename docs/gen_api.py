@@ -47,6 +47,7 @@ MODULES = [
     "enflows_tpu.parallel.smc_sharded",
     "enflows_tpu.parallel.event_sharded",
     "enflows_tpu.ops.pallas.elementwise",
+    "enflows_tpu.ops.pallas.coupling",
     "enflows_tpu.ops.pallas.leapfrog",
     "enflows_tpu.infer",
     "enflows_tpu.utils.pytree",
