@@ -107,7 +107,8 @@ def halton_base2(n: int, offset: int = 0) -> np.ndarray:
 
 
 def hmc_proposal_kernel(logdensity_fn: Callable,
-                        divergence_threshold: float = 1000.0):
+                        divergence_threshold: float = 1000.0,
+                        value_and_grad_fn: Callable | None = None):
     """One fixed-length HMC transition that also exposes the proposal.
 
     ``kernel(key, state, step_size, inv_mass_diag, num_steps)`` where
@@ -116,7 +117,7 @@ def hmc_proposal_kernel(logdensity_fn: Callable,
     single unbatched while_loop with batched carry: zero control-flow
     divergence across chains.
     """
-    value_grad_fn = jax.value_and_grad(logdensity_fn)
+    value_grad_fn = value_and_grad_fn or jax.value_and_grad(logdensity_fn)
 
     def kernel(key, state: HMCState, step_size, inv_mass_diag, num_steps):
         key_mom, key_acc = jax.random.split(key)
@@ -182,7 +183,9 @@ def _adam_ascent(adapt: ChEESAdaptState, grad, lr=0.025, b1=0.9, b2=0.999,
 def chees_warmup(logdensity_fn: Callable, initial_states: HMCState, key,
                  num_warmup: int, *, initial_step_size=0.1,
                  target_accept=OPTIMAL_ACCEPT, max_num_steps: int = 512,
-                 adam_lr: float = 0.025) -> ChEESWarmupResult:
+                 adam_lr: float = 0.025,
+                 value_and_grad_fn: Callable | None = None
+                 ) -> ChEESWarmupResult:
     """Joint (step size, trajectory length, mass matrix) adaptation.
 
     One `lax.scan` over warmup iterations; every per-iteration scalar
@@ -196,7 +199,8 @@ def chees_warmup(logdensity_fn: Callable, initial_states: HMCState, key,
     in_slow = jnp.asarray(in_slow_np)
     window_end = jnp.asarray(window_end_np)
 
-    kernel = hmc_proposal_kernel(logdensity_fn)
+    kernel = hmc_proposal_kernel(logdensity_fn,
+                                 value_and_grad_fn=value_and_grad_fn)
     vkernel = jax.vmap(kernel, in_axes=(0, 0, None, None, None))
     max_log_h = jnp.log(jnp.asarray(max_num_steps, dtype))
 
@@ -265,7 +269,8 @@ class ChEESSampleStats(NamedTuple):
 
 def run_chains_chees(logdensity_fn: Callable, states: HMCState, key,
                      num_samples: int, step_size, trajectory_length,
-                     inv_mass_diag, max_num_steps: int = 512):
+                     inv_mass_diag, max_num_steps: int = 512,
+                     value_and_grad_fn: Callable | None = None):
     """Sampling phase: jittered fixed-length HMC at the adapted settings.
 
     Trajectory lengths stay quasi-randomly jittered (continuing the Halton
@@ -274,7 +279,8 @@ def run_chains_chees(logdensity_fn: Callable, states: HMCState, key,
     nchains = states.q.shape[0]
     dtype = states.q.dtype
     jitter = jnp.asarray(halton_base2(num_samples, offset=1 << 20), dtype)
-    kernel = hmc_proposal_kernel(logdensity_fn)
+    kernel = hmc_proposal_kernel(logdensity_fn,
+                                 value_and_grad_fn=value_and_grad_fn)
     vkernel = jax.vmap(kernel, in_axes=(0, 0, None, None, None))
 
     def step(states, xs):
@@ -305,16 +311,33 @@ def _chees_impl(logdensity_fn, key, initial_position, *, num_warmup,
                 num_samples, num_chains, dim, max_num_steps,
                 initial_step_size, target_accept):
     k_init, k_warm, k_samp = jax.random.split(key, 3)
+    # Targets declaring flow-pushforward structure get the fused Pallas
+    # gradient route (mcmc.logdensity.FlowPushforwardTarget.
+    # batched_value_and_grad) — ChEES is gradient-RATE-bound (the whole
+    # of its measured advantage over NUTS, BASELINE.md lockstep
+    # decomposition), so this is the sampler where a faster batched
+    # gradient pays. Measured A/B on the 50D fusible target: 0.70x at
+    # 128 chains (launch overhead), 1.06x at 2048, **1.29x at 8192** —
+    # auto-route only above the measured crossover, TPU-only
+    # (interpret-mode pallas would crawl on CPU).
+    n_chains = initial_position.shape[0]
+    vg_builder = getattr(logdensity_fn, "batched_value_and_grad", None)
+    vg_fn = (vg_builder(dim, initial_position.dtype)
+             if vg_builder is not None
+             and n_chains * dim >= (1 << 17)
+             and jax.default_backend() == "tpu" else None)
     states = jax.vmap(lambda q: init_state(logdensity_fn, q))(
         initial_position)
     warm = chees_warmup(logdensity_fn, states, k_warm, num_warmup,
                         initial_step_size=initial_step_size,
                         target_accept=target_accept,
-                        max_num_steps=max_num_steps)
+                        max_num_steps=max_num_steps,
+                        value_and_grad_fn=vg_fn)
     return run_chains_chees(logdensity_fn, warm.states, k_samp, num_samples,
                             warm.step_size, warm.trajectory_length,
                             warm.inv_mass_diag,
-                            max_num_steps=max_num_steps)
+                            max_num_steps=max_num_steps,
+                            value_and_grad_fn=vg_fn)
 
 
 def chees_sample(logdensity_fn: Callable, key, *, dim: int,

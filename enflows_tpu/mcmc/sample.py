@@ -160,23 +160,17 @@ def _sample_impl(logdensity_fn, key, initial_position, *, num_warmup,
                  num_samples, num_chains, dim, max_depth, algorithm,
                  num_steps, initial_step_size, target_accept,
                  metrics=None):
-    # Targets declaring flow-pushforward structure provide a custom_vmap
-    # value-and-grad whose batched rule runs the fused Pallas fwd+bwd
-    # kernels once per leapfrog step for ALL chains (logdensity.
-    # FlowPushforwardTarget.batched_value_and_grad) — NUTS/HMC trees on
-    # fusible targets stop paying an XLA chain per leaf.
-    # TPU-only: interpret-mode pallas per tree leaf would crawl on CPU
-    # (the route is oracle-gated in tests_tpu and by direct vg tests).
-    vg_builder = getattr(logdensity_fn, "batched_value_and_grad", None)
-    vg_fn = (vg_builder(dim, initial_position.dtype)
-             if vg_builder is not None
-             and jax.default_backend() == "tpu" else None)
+    # NOTE on the fused gradient route (FlowPushforwardTarget.
+    # batched_value_and_grad): NUTS/HMC measured at wall-time PARITY with
+    # it at 128/2048/8192 chains x 50D (tree machinery binds, not
+    # gradients — BASELINE.md lockstep decomposition), so tree samplers
+    # do NOT auto-route; the kernels keep the value_and_grad_fn override
+    # for callers. ChEES — which IS gradient-rate-bound — auto-routes at
+    # scale (chees._chees_impl).
     if algorithm == "nuts":
-        kernel = nuts_kernel(logdensity_fn, max_depth=max_depth,
-                             value_and_grad_fn=vg_fn)
+        kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
     else:
-        kernel = hmc_kernel(logdensity_fn, num_steps=num_steps,
-                            value_and_grad_fn=vg_fn)
+        kernel = hmc_kernel(logdensity_fn, num_steps=num_steps)
     k_init, k_warm, k_samp = jax.random.split(key, 3)
     states = jax.vmap(lambda q: init_state(logdensity_fn, q))(
         initial_position)
