@@ -33,7 +33,9 @@ from .bijectors import (
     Bijector, Chain, Identity, compose, invert, forward_and_ladj,
     ScaleShift, CenterStretch, CenterContract, Johnson, JohnsonInv,
     Householder, AffineCoupling, Permute, init_affine_coupling,
-    coupling_stack,
+    coupling_stack, RQSplineCoupling, ElementwiseRQSpline,
+    init_rq_spline_coupling, init_elementwise_rq_spline,
+    spline_coupling_stack,
 )
 from .distributions import (
     FlowDistribution, JohnsonSU, std_normal_logpdf, std_normal_logpdf_sum,

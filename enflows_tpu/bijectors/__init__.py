@@ -14,6 +14,11 @@ from .coupling import (
     AffineCoupling, MLPConditioner, Permute, init_affine_coupling,
     coupling_stack,
 )
+from .spline import (
+    RQSplineCoupling, ElementwiseRQSpline, rq_spline,
+    init_rq_spline_coupling, init_elementwise_rq_spline,
+    spline_coupling_stack,
+)
 
 __all__ = [
     "Bijector", "Chain", "Identity", "compose", "invert",
@@ -25,4 +30,7 @@ __all__ = [
     "householder_matrix",
     "AffineCoupling", "MLPConditioner", "Permute", "init_affine_coupling",
     "coupling_stack",
+    "RQSplineCoupling", "ElementwiseRQSpline", "rq_spline",
+    "init_rq_spline_coupling", "init_elementwise_rq_spline",
+    "spline_coupling_stack",
 ]

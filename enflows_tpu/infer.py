@@ -67,12 +67,13 @@ def default_flow_template(dim: int, key, dtype=jnp.float32) -> Bijector:
 
 
 def coupling_flow_template(n_layers: int = 4, hidden=(32, 32), *,
-                           tails: bool = True):
+                           tails: bool = True, kind: str = "affine",
+                           n_bins: int = 8, bound: float = 5.0):
     """Template factory: a coupling-stack base->data transport.
 
     Returns a callable with the ``flow_template(dim, key, dtype)``
-    signature ``infer`` expects. The stack (identity-initialized
-    AffineCoupling layers with Permute alternation, bijectors/coupling.py)
+    signature ``infer`` expects. The stack (identity-initialized coupling
+    layers with Permute alternation, bijectors/coupling.py + spline.py)
     expresses learnable *conditional* structure the elementwise+rotation
     default template cannot; with ``tails=True`` a sinh tail-expansion
     block wraps the stack so heavy-tailed targets stay reachable. Use for
@@ -80,8 +81,18 @@ def coupling_flow_template(n_layers: int = 4, hidden=(32, 32), *,
 
         ef.infer(logp, dim=16, key=key,
                  flow_template=ef.coupling_flow_template(6, (64, 64)))
+
+    ``kind='spline'`` swaps in rational-quadratic-spline couplings
+    (``n_bins`` bins on ``[-bound, bound]`` per transformed dim,
+    bijectors/spline.py) — per-dimension multimodal warps where the
+    affine stack can only scale and shift; prefer it for multimodal or
+    sharply non-Gaussian conditionals at a ~(3*n_bins-1)/2x conditioner
+    output-width cost.
     """
-    from .bijectors import coupling_stack
+    from .bijectors import coupling_stack, spline_coupling_stack
+
+    if kind not in ("affine", "spline"):
+        raise ValueError(f"kind must be 'affine' or 'spline', got {kind!r}")
 
     def template(dim: int, key, dtype=jnp.float32) -> Bijector:
         if dim < 2:
@@ -92,7 +103,12 @@ def coupling_flow_template(n_layers: int = 4, hidden=(32, 32), *,
         if tails:
             stages.append(JohnsonInv(gamma=v(0.0), delta=v(5.0),
                                      xi=v(0.0), lam=v(5.0)))
-        stack = coupling_stack(key, dim, n_layers, hidden, dtype=dtype)
+        if kind == "spline":
+            stack = spline_coupling_stack(key, dim, n_layers, hidden,
+                                          n_bins=n_bins, bound=bound,
+                                          dtype=dtype)
+        else:
+            stack = coupling_stack(key, dim, n_layers, hidden, dtype=dtype)
         stages.extend(stack.stages)
         stages.append(ScaleShift(a=v(1.0), b=v(0.0)))
         # stages is in APPLY order; Chain.of states that directly (compose
