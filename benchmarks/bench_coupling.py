@@ -80,7 +80,33 @@ def build(compute_dtype=None):
             jax.random.PRNGKey(p.size % 101), p.shape, p.dtype), stack)
 
 
-def measure(stack, x, label, fused: bool):
+N_BINS = 8
+
+
+def spline_flops_per_sample(dim=DIM, hidden=HIDDEN, n_layers=N_LAYERS,
+                            n_bins=N_BINS):
+    """Conditioner MXU FLOPs for the RQ-spline stack: same hiddens, but the
+    output layer fans out to d_b * (3K - 1) spline params per coupling.
+    The spline epilogue itself is ~(6K + 30) VPU ops per transformed
+    element — negligible against the matmuls at these widths."""
+    d_a = dim // 2
+    sizes = (d_a,) + tuple(hidden) + ((dim - d_a) * (3 * n_bins - 1),)
+    per_coupling = sum(2 * a * b for a, b in zip(sizes[:-1], sizes[1:]))
+    return per_coupling * n_layers
+
+
+def build_spline(compute_dtype=None):
+    from enflows_tpu.bijectors import spline_coupling_stack
+    key = jax.random.PRNGKey(0)
+    stack = spline_coupling_stack(key, DIM, n_layers=N_LAYERS,
+                                  hidden=HIDDEN, n_bins=N_BINS,
+                                  compute_dtype=compute_dtype)
+    return jax.tree.map(
+        lambda p: p + 0.03 * jax.random.normal(
+            jax.random.PRNGKey(p.size % 101), p.shape, p.dtype), stack)
+
+
+def measure(stack, x, label, fused: bool, fps: float | None = None):
     def body(u):
         if fused:
             y, ladj = fused_coupling_forward_and_ladj(
@@ -92,7 +118,7 @@ def measure(stack, x, label, fused: bool):
 
     st = slope_stats(body, x)
     evals = BATCH / st["median"]
-    tf = evals * flops_per_sample() / 1e12
+    tf = evals * (fps if fps is not None else flops_per_sample()) / 1e12
     frac = tf * 1e12 / BF16_TFLOPS
     print(f"[coupling] {label}: median {st['median']*1e3:.3f} ms -> "
           f"{evals/1e6:.1f}M evals/s = {tf:.1f} TFLOP/s "
@@ -137,6 +163,34 @@ def main():
     out["fused_speedup_bf16"] = round(
         out["fused_bf16"]["evals_per_s"]
         / out["jnp_bf16"]["evals_per_s"], 2)
+
+    # --- RQ-spline coupling stack (bijectors/spline.py), XLA path ---
+    sfps = spline_flops_per_sample()
+    print(f"[coupling] spline model: {sfps/1e6:.2f} MFLOP/sample "
+          f"(n_bins={N_BINS}; {sfps/fps:.2f}x the affine stack's FLOPs); "
+          f"MXU(bf16) roof {BF16_TFLOPS/sfps/1e6:.0f}M evals/s",
+          file=sys.stderr)
+    spl = build_spline()
+    out["spline_config"] = {"n_bins": N_BINS,
+                            "mflops_per_sample": round(sfps / 1e6, 2)}
+    out["spline_jnp_f32"] = measure(spl, x, "spline jnp f32",
+                                    fused=False, fps=sfps)
+    out["spline_fused_f32"] = measure(spl, x, "spline fused f32",
+                                      fused=True, fps=sfps)
+    spl16 = build_spline(compute_dtype="bfloat16")
+    out["spline_jnp_bf16"] = measure(spl16, x, "spline jnp bf16-cond",
+                                     fused=False, fps=sfps)
+    out["spline_fused_bf16"] = measure(spl16, x, "spline fused bf16-cond",
+                                       fused=True, fps=sfps)
+    out["spline_fused_speedup_f32"] = round(
+        out["spline_fused_f32"]["evals_per_s"]
+        / out["spline_jnp_f32"]["evals_per_s"], 2)
+    out["spline_fused_speedup_bf16"] = round(
+        out["spline_fused_bf16"]["evals_per_s"]
+        / out["spline_jnp_bf16"]["evals_per_s"], 2)
+    out["spline_vs_affine_cost"] = round(
+        out["jnp_f32"]["evals_per_s"]
+        / out["spline_jnp_f32"]["evals_per_s"], 2)
     print(json.dumps(out))
 
 

@@ -101,14 +101,7 @@ def rq_spline(x: Array, w_raw: Array, h_raw: Array, d_raw: Array, *,
     widths, xk = _knots(w_raw, bound, min_bin)
     heights, yk = _knots(h_raw, bound, min_bin)
     d = _derivs(d_raw, min_deriv)
-    # Parameters may carry fewer leading axes than x (shared across the
-    # batch); broadcast them up so the per-element bin gather lines up.
     K = w_raw.shape[-1]
-    widths = jnp.broadcast_to(widths, x.shape + (K,))
-    heights = jnp.broadcast_to(heights, x.shape + (K,))
-    xk = jnp.broadcast_to(xk, x.shape + (K + 1,))
-    yk = jnp.broadcast_to(yk, x.shape + (K + 1,))
-    d = jnp.broadcast_to(d, x.shape + (K + 1,))
 
     in_range = (x > -bound) & (x < bound)
     # Locate the bin against the *input-side* knots; clamp the out-of-range
@@ -116,14 +109,25 @@ def rq_spline(x: Array, w_raw: Array, h_raw: Array, d_raw: Array, *,
     ref_knots = yk if inverse else xk
     idx = jnp.sum((x[..., None] >= ref_knots[..., 1:-1]).astype(jnp.int32),
                   axis=-1)
-    idx = jnp.clip(idx, 0, w_raw.shape[-1] - 1)
+    idx = jnp.clip(idx, 0, K - 1)
 
-    def pick(a: Array, k: Array) -> Array:
-        return jnp.take_along_axis(a, k[..., None], axis=-1)[..., 0]
+    # Branchless per-element bin select via a one-hot contraction over the
+    # (small) K axis. NOT take_along_axis: XLA lowers that gather to a
+    # serial per-element address path on TPU — measured 1.6 s/dispatch at
+    # a (128K, 32, 8) operand vs ~ms for this form, which fuses into a
+    # fan of VPU multiply-adds and never materializes broadcast operands.
+    onehot = (idx[..., None] ==
+              jax.lax.broadcasted_iota(jnp.int32, idx.shape + (K,),
+                                       idx.ndim)).astype(x.dtype)
 
-    wk, hk = pick(widths, idx), pick(heights, idx)
-    x0, y0 = pick(xk, idx), pick(yk, idx)
-    d0, d1 = pick(d, idx), pick(d, idx + 1)
+    def pick(a: Array, shift: int = 0) -> Array:
+        # a broadcasts against x.shape + (K or K+1,); shift selects a[k+1].
+        sl = a[..., shift:shift + K] if a.shape[-1] != K else a
+        return jnp.sum(sl * onehot, axis=-1)
+
+    wk, hk = pick(widths), pick(heights)
+    x0, y0 = pick(xk), pick(yk)
+    d0, d1 = pick(d), pick(d, shift=1)
     s = hk / wk  # bin slope
 
     if inverse:

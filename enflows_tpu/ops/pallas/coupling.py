@@ -1,4 +1,16 @@
-"""Fused coupling-stack kernel: whole RealNVP stack in one VMEM pass.
+"""Fused coupling-stack kernel: whole coupling stack in one VMEM pass.
+
+Covers AFFINE (RealNVP-style) and RATIONAL-QUADRATIC-SPLINE couplings,
+interleaved elementwise stages, and Permutes (absorbed into weights).
+Spline epilogues run in SLAB layout — each of the 3K-1 per-dim spline
+parameters is a contiguous (tile, d/2) 2D block (the absorption
+permutation transposes the conditioner's output columns at trace time),
+so bin softmaxes, knot running sums, the bin search, and the one-hot
+bin selects are all unrolled 2D VPU ops with zero reshapes/gathers.
+Motivation (benchmarks/bench_coupling.py): the XLA spline path runs at
+~11% of the bf16 MXU roof and gains nothing from bf16 conditioners —
+it is bound by materialized (batch, d/2, K) epilogue intermediates,
+precisely the traffic this kernel keeps in VMEM.
 
 The coupling tier's hot path (VERDICT r3 next #1). The jnp/XLA coupling
 stack (bijectors/coupling.py) runs its conditioner matmuls at ~44% of
@@ -59,6 +71,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ...bijectors.base import Bijector, Chain
 from ...bijectors.coupling import (AffineCoupling, MLPConditioner, Permute,
                                    _ACTIVATIONS)
+from ...bijectors.spline import (RQSplineCoupling, _MIN_BIN, _MIN_DERIV,
+                                 _DERIV_SHIFT)
 from .elementwise import _APPLY, _stage_params, ELEMENTWISE_KINDS
 
 # Batch rows per grid step. Swept on v5e at the BASELINE config (d=64,
@@ -70,15 +84,33 @@ _TILE_CANDIDATES = (1024, 512, 256, 128, 64)
 _VMEM_BUDGET = 14 * (1 << 20)
 
 
-def _pick_tile(flat_params, dim) -> int | None:
+def _pick_tile(flat_params, dim, static_plan=None) -> int | None:
     """Largest candidate tile whose resident weights + a few live
     (tile, max_width) activation buffers fit the VMEM budget; None when
-    the weights alone do not fit (chain too large — jnp fallback)."""
+    the weights alone do not fit (chain too large — jnp fallback).
+
+    Spline items add a per-row scoped-stack term: the epilogue's
+    accumulators and loop temps are (tile, da) slabs LANE-PADDED to 128,
+    and Mosaic's scoped-stack allocator materializes ~5 slabs per
+    unrolled bin iteration (measured: 19.9 KB/row at K=8 = ~40 padded
+    slabs — the shape that OOMed the 16 MB scoped limit at tile=1024,
+    da=8; SSA scheduling defeats Python-level "liveness" intuition)."""
     wbytes = sum(int(np.prod(p.shape)) * jnp.dtype(p.dtype).itemsize
                  for p in flat_params)
     maxw = max([int(p.shape[-1]) for p in flat_params] + [dim])
+    # Scoped-STACK row cost (a limit separate from operand residency:
+    # the dim=16 OOM had near-zero weights and a 22.75 MB stack):
+    stack_row = maxw * 4 * 2
+    if static_plan is not None:
+        for it in static_plan:
+            if it[0] == "spline":
+                K = it[3][0]
+                lanes = -(-(dim // 2) // 128) * 128
+                stack_row += lanes * 4 * (5 * K + 2)
+                break
     for tile in _TILE_CANDIDATES:
-        if wbytes + tile * maxw * 4 * 4 <= _VMEM_BUDGET:
+        if wbytes + tile * maxw * 4 * 4 <= _VMEM_BUDGET \
+                and tile * stack_row <= _VMEM_BUDGET:
             return tile
     return None
 
@@ -105,6 +137,22 @@ def _stack_plan(chain: Bijector, dim: int):
     if dim % 2:
         return None
     da = dim // 2
+
+    def half_alignment(lane_map):
+        """(src, a_loc, b_loc) when the logical untouched/transformed
+        halves each land on one physical half-buffer, else None."""
+        a_phys = [lane_map[i] for i in range(da)]
+        b_phys = [lane_map[i] for i in range(da, dim)]
+        if all(p < da for p in a_phys):
+            if not all(p >= da for p in b_phys):
+                return None
+            return 0, a_phys, [p - da for p in b_phys]
+        if all(p >= da for p in a_phys):
+            if not all(p < da for p in b_phys):
+                return None
+            return 1, [p - da for p in a_phys], list(b_phys)
+        return None
+
     lane_map = list(range(dim))          # logical position -> physical lane
     plan, flat, n_coup = [], [], 0
     for s in stages:
@@ -119,20 +167,10 @@ def _stack_plan(chain: Bijector, dim: int):
             cond = s.conditioner
             if cond.activation not in _ACTIVATIONS:
                 return None
-            a_phys = [lane_map[i] for i in range(da)]
-            b_phys = [lane_map[i] for i in range(da, dim)]
-            if all(p < da for p in a_phys):
-                src, a_loc = 0, a_phys
-                if not all(p >= da for p in b_phys):
-                    return None
-                b_loc = [p - da for p in b_phys]
-            elif all(p >= da for p in a_phys):
-                src, a_loc = 1, [p - da for p in a_phys]
-                if not all(p < da for p in b_phys):
-                    return None
-                b_loc = list(b_phys)
-            else:
+            align = half_alignment(lane_map)
+            if align is None:
                 return None
+            src, a_loc, b_loc = align
             layers = list(cond.layers)
             if layers[0][0].shape[0] != da or \
                     layers[-1][0].shape[-1] != 2 * da:
@@ -158,6 +196,46 @@ def _stack_plan(chain: Bijector, dim: int):
             layers[-1] = (Wl_p, bl_p)
             plan.append(("coupling", src, bool(s.inverted),
                          float(s.max_log_scale), cond.activation,
+                         len(layers), cond.compute_dtype))
+            for W, b in layers:
+                flat.append(W)
+                flat.append(b[None, :])
+            n_coup += 1
+        elif isinstance(s, RQSplineCoupling):
+            if s.split != da or not isinstance(s.conditioner,
+                                               MLPConditioner):
+                return None
+            cond = s.conditioner
+            if cond.activation not in _ACTIVATIONS:
+                return None
+            align = half_alignment(lane_map)
+            if align is None:
+                return None
+            src, a_loc, b_loc = align
+            K = int(s.n_bins)
+            P = 3 * K - 1
+            layers = list(cond.layers)
+            if layers[0][0].shape[0] != da or \
+                    layers[-1][0].shape[-1] != da * P:
+                return None
+            W1, b1 = layers[0]
+            W1p = jnp.zeros_like(W1).at[jnp.asarray(a_loc), :].set(W1)
+            layers[0] = (W1p, b1)
+            # Output side: the jnp path reads param p of logical dim j at
+            # column j*P + p ((d_b, P) reshape); the kernel wants SLAB
+            # layout — param p of physical lane b_loc[j] at column
+            # p*da + b_loc[j] — so each spline parameter is a contiguous
+            # (tile, da) 2D block (no in-kernel reshape/gather). One
+            # static column permutation absorbs the slab transpose AND
+            # the Permute scatter together.
+            perm = np.empty(da * P, np.int64)
+            for j in range(da):
+                for p in range(P):
+                    perm[p * da + b_loc[j]] = j * P + p
+            Wl, bl = layers[-1]
+            layers[-1] = (Wl[:, jnp.asarray(perm)], bl[jnp.asarray(perm)])
+            plan.append(("spline", src, bool(s.inverted),
+                         (K, float(s.bound)), cond.activation,
                          len(layers), cond.compute_dtype))
             for W, b in layers:
                 flat.append(W)
@@ -198,7 +276,88 @@ def is_fusible_coupling_stack(chain: Bijector, dim: int,
         planned = _stack_plan(chain, dim)
         if planned is None:
             return False
-        return _pick_tile(planned[1], dim) is not None
+        return _pick_tile(planned[1], dim, planned[0]) is not None
+
+
+def _spline_slab_epilogue(x, h, da, K, bound, inverted):
+    """RQ-spline transform of half-buffer ``x: (tile, da)`` from
+    conditioner output ``h: (tile, da * (3K-1))`` in SLAB layout (see
+    ``_stack_plan``): spline parameter p of lane j lives at column
+    p*da + j, so every per-bin quantity is a contiguous 2D block and the
+    whole epilogue is a fan of unrolled elementwise VPU ops — no
+    reshapes, no gathers, no 3D arrays (Mosaic-friendly). Mirrors
+    ``bijectors.spline.rq_spline`` exactly (same floors, same stable
+    two-root inverse). Returns (y, ladj_row)."""
+    slab = lambda k: h[:, k * da:(k + 1) * da]
+
+    # Softmax normalizers first (2 + 2 live slabs); bin sizes are then
+    # RECOMPUTED inside the single accumulation loop below — 2K extra
+    # exps per element buys a live set small enough for the scoped-VMEM
+    # stack at large tiles (the list-of-slabs form kept ~6K slabs alive
+    # at once and OOMed the 16 MB scoped limit at (tile=1024, K=8)).
+    mw = slab(0)
+    mh = slab(K)
+    for k in range(1, K):
+        mw = jnp.maximum(mw, slab(k))
+        mh = jnp.maximum(mh, slab(K + k))
+    zw = sum(jnp.exp(slab(k) - mw) for k in range(K))
+    zh = sum(jnp.exp(slab(K + k) - mh) for k in range(K))
+    cw = (1.0 - _MIN_BIN * K) * 2.0 * bound
+    size_w = lambda k: 2.0 * bound * _MIN_BIN \
+        + cw * jnp.exp(slab(k) - mw) / zw
+    size_h = lambda k: 2.0 * bound * _MIN_BIN \
+        + cw * jnp.exp(slab(K + k) - mh) / zh
+    one = jnp.ones_like(x)
+    deriv = lambda kn: one if kn in (0, K) else \
+        _MIN_DERIV + jax.nn.softplus(slab(2 * K + kn - 1) + _DERIV_SHIFT)
+
+    in_range = (x > -bound) & (x < bound)
+    # One pass over bins with running left edges; each needed per-bin
+    # quantity accumulates through the bin's one-hot mask, so only the
+    # loop-local temps + 8 accumulators are ever live.
+    cx = jnp.full_like(x, -bound)
+    cy = jnp.full_like(x, -bound)
+    wk = hk = x0 = y0 = d0 = d1 = 0.0
+    for k in range(K):
+        wsz_k, hsz_k = size_w(k), size_h(k)
+        nx, ny = cx + wsz_k, cy + hsz_k
+        lo, hi = (cy, ny) if inverted else (cx, nx)
+        m = (x >= lo) & (x < hi) if k + 1 < K else (x >= lo)
+        if k == 0:
+            m = m | ~in_range     # park out-of-range lanes in bin 0
+        oh = m.astype(x.dtype)
+        wk = wk + oh * wsz_k
+        hk = hk + oh * hsz_k
+        x0 = x0 + oh * cx
+        y0 = y0 + oh * cy
+        d0 = d0 + oh * deriv(k)
+        d1 = d1 + oh * deriv(k + 1)
+        cx, cy = nx, ny
+    s = hk / wk
+    t = d1 + d0 - 2.0 * s
+    if inverted:
+        dy = jnp.where(in_range, x - y0, 0.5 * hk)
+        a = hk * (s - d0) + dy * t
+        b = hk * d0 - dy * t
+        c = -s * dy
+        root = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
+        q = -0.5 * (b + jnp.where(b >= 0.0, 1.0, -1.0) * root)
+        r1 = jnp.where(q != 0.0, c / jnp.where(q != 0.0, q, 1.0), 0.0)
+        r2 = jnp.where(a != 0.0, q / jnp.where(a != 0.0, a, 1.0), r1)
+        use_r1 = (r1 >= -1e-6) & (r1 <= 1.0 + 1e-6)
+        xi = jnp.clip(jnp.where(use_r1, r1, r2), 0.0, 1.0)
+        y = x0 + xi * wk
+    else:
+        xi = jnp.clip(jnp.where(in_range, (x - x0) / wk, 0.5), 0.0, 1.0)
+        y = y0 + hk * (s * xi * xi + d0 * xi * (1.0 - xi)) \
+            / (s + t * xi * (1.0 - xi))
+    omxi = 1.0 - xi
+    denom = s + t * xi * omxi
+    num = s * s * (d1 * xi * xi + 2.0 * s * xi * omxi + d0 * omxi * omxi)
+    ladj_fwd = jnp.log(num) - 2.0 * jnp.log(denom)
+    ladj = jnp.where(in_range, -ladj_fwd if inverted else ladj_fwd, 0.0)
+    y = jnp.where(in_range, y, x)
+    return y, jnp.sum(ladj, axis=1, keepdims=True)
 
 
 def _build_coupling_kernel(static_plan, dim, da):
@@ -210,8 +369,9 @@ def _build_coupling_kernel(static_plan, dim, da):
         acc = None
         pi = 0
         for item in static_plan:
-            if item[0] == "coupling":
-                _, src, inverted, mls, actname, n_layers, cdt = item
+            if item[0] in ("coupling", "spline"):
+                src, inverted = item[1], item[2]
+                actname, n_layers, cdt = item[4], item[5], item[6]
                 act = _ACTIVATIONS[actname]
                 h = ha if src == 0 else hb
                 for li in range(n_layers):
@@ -229,20 +389,27 @@ def _build_coupling_kernel(static_plan, dim, da):
                         preferred_element_type=jnp.float32) + b
                     if li + 1 < n_layers:
                         h = act(h)
-                s = mls * jnp.tanh(h[:, :da] / mls)
-                t = h[:, da:]
-                if src == 0:
+                tgt = hb if src == 0 else ha
+                if item[0] == "coupling":
+                    mls = item[3]
+                    sc = mls * jnp.tanh(h[:, :da] / mls)
+                    t = h[:, da:]
                     if inverted:
-                        hb = (hb - t) * jnp.exp(-s)
+                        new = (tgt - t) * jnp.exp(-sc)
                     else:
-                        hb = hb * jnp.exp(s) + t
+                        new = tgt * jnp.exp(sc) + t
+                    row = jnp.sum(sc, axis=1, keepdims=True)
+                    row = -row if inverted else row
                 else:
-                    if inverted:
-                        ha = (ha - t) * jnp.exp(-s)
-                    else:
-                        ha = ha * jnp.exp(s) + t
-                row = jnp.sum(s, axis=1, keepdims=True)
-                row = -row if inverted else row
+                    # spline item[3] = (n_bins, bound); items otherwise
+                    # share the coupling layout.
+                    K, bound = item[3]
+                    new, row = _spline_slab_epilogue(
+                        tgt, h, da, K, bound, inverted)
+                if src == 0:
+                    hb = new
+                else:
+                    ha = new
                 acc = row if acc is None else acc + row
             else:
                 _, st, n_params = item
@@ -306,7 +473,7 @@ def _fused_coupling_op(dim, chain, x, physical_order):
     with jax.ensure_compile_time_eval():
         planned = _stack_plan(chain, dim)
     static_plan, flat_params, out_map = planned
-    tile = _pick_tile(flat_params, dim)
+    tile = _pick_tile(flat_params, dim, static_plan)
     if tile is None:           # weights exceed VMEM — jnp fallback
         return chain.forward_and_ladj(x)
     y_phys, ladj = _fused_coupling_impl((static_plan, dim, tile), x,

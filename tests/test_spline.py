@@ -162,6 +162,124 @@ def test_conditioner_width_validation():
         bad.forward_and_ladj(x)
 
 
+def _perturbed_stack(dim=8, n_layers=3, n_bins=6, scale=0.05, key=0):
+    st = spline_coupling_stack(jax.random.PRNGKey(key), dim,
+                               n_layers=n_layers, hidden=(32,),
+                               n_bins=n_bins)
+    return jax.tree.map(
+        lambda p: p + scale * jax.random.normal(
+            jax.random.PRNGKey(p.size % 97), p.shape, p.dtype), st)
+
+
+def test_fused_kernel_matches_jnp_forward_and_inverse():
+    """The fused coupling kernel (ops/pallas/coupling.py) accepts spline
+    stacks; interpret-mode equivalence vs the jnp path on well-conditioned
+    inputs (bound-squashed points are f32-ill-conditioned on BOTH paths —
+    the gate for those is right-inverse self-consistency below)."""
+    from enflows_tpu.ops.pallas.coupling import (
+        fused_coupling_forward_and_ladj, is_fusible_coupling_stack)
+
+    st = _perturbed_stack()
+    assert is_fusible_coupling_stack(st, 8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 8), jnp.float32) * 2
+    y_ref, l_ref = st.forward_and_ladj(x)
+    y_f, l_f = fused_coupling_forward_and_ladj(st, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
+                               atol=2e-4)
+    inv = st.inverse()
+    z = jax.random.normal(jax.random.PRNGKey(2), (64, 8), jnp.float32)
+    a, la = inv.forward_and_ladj(z)
+    b, lb = fused_coupling_forward_and_ladj(inv, z)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la), atol=2e-4)
+
+
+def test_fused_kernel_right_inverse_self_consistency():
+    from enflows_tpu.ops.pallas.coupling import \
+        fused_coupling_forward_and_ladj
+
+    st = _perturbed_stack(scale=0.1)
+    x = jax.random.normal(jax.random.PRNGKey(3), (64, 8), jnp.float32) * 2
+    y, _ = fused_coupling_forward_and_ladj(st, x)
+    x_back, _ = fused_coupling_forward_and_ladj(st.inverse(), y)
+    y_rt, _ = fused_coupling_forward_and_ladj(st, x_back)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-3)
+
+
+def test_fused_kernel_mixed_affine_spline_stack():
+    from enflows_tpu.bijectors import coupling_stack
+    from enflows_tpu.bijectors.base import Chain
+    from enflows_tpu.ops.pallas.coupling import (
+        fused_coupling_forward_and_ladj, is_fusible_coupling_stack)
+
+    aff = coupling_stack(jax.random.PRNGKey(5), 8, n_layers=2, hidden=(16,))
+    spl = _perturbed_stack()
+    mix = Chain.of(*(aff.stages + spl.stages))
+    mix = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(p.size % 89), p.shape, p.dtype), mix)
+    assert is_fusible_coupling_stack(mix, 8)
+    x = jax.random.normal(jax.random.PRNGKey(6), (32, 8), jnp.float32)
+    y_ref, l_ref = mix.forward_and_ladj(x)
+    y_f, l_f = fused_coupling_forward_and_ladj(mix, x)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_ref),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_ref),
+                               atol=1e-3)
+
+
+def test_fused_kernel_gradients_match_jnp():
+    """custom_vjp backward routes through the jnp path; with the jnp
+    forward's own outputs in the loss the gradients must coincide."""
+    from enflows_tpu.ops.pallas.coupling import \
+        fused_coupling_forward_and_ladj
+
+    st = _perturbed_stack(scale=0.03)
+    x = jax.random.normal(jax.random.PRNGKey(7), (32, 8), jnp.float32)
+
+    def loss(fwd):
+        def f(c, x):
+            y, l = fwd(c, x)
+            return jnp.sum(jnp.tanh(y)) - 0.1 * jnp.sum(l)
+        return f
+
+    gf = jax.grad(loss(fused_coupling_forward_and_ladj))(st, x)
+    gr = jax.grad(loss(lambda c, u: c.forward_and_ladj(u)))(st, x)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_whitening_trainer_dispatches_spline_stack():
+    """optimize_whitening's fused-coupling auto-dispatch now admits spline
+    stacks (is_fusible_coupling_stack returns True); forcing the fused
+    route must train to the same quality as the standard route."""
+    import optax
+    from enflows_tpu.train import optimize_whitening
+
+    rng = np.random.default_rng(1)
+    n = 2048
+    x0 = rng.normal(0, 1.0, n)
+    x1 = 0.6 * x0 + rng.normal(0, 0.8, n)
+    X = jnp.asarray(np.stack([x0, x1] * 2, 1), jnp.float32)  # dim 4
+
+    st = spline_coupling_stack(jax.random.PRNGKey(12), 4, n_layers=2,
+                               hidden=(16,), n_bins=6)
+    kw = dict(nbatches=2, nepochs=3)
+    res_std = optimize_whitening(X, st, optax.adam(5e-3),
+                                 use_fused=False, **kw)
+    res_fused = optimize_whitening(X, st, optax.adam(5e-3),
+                                   use_fused="coupling", **kw)
+    np.testing.assert_allclose(np.asarray(res_fused.negll_history),
+                               np.asarray(res_std.negll_history),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(res_fused.result),
+                    jax.tree.leaves(res_std.result)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
 def test_whitening_convergence_beats_linear_bound():
     """A bimodal marginal no linear (or orthogonal) whitening map can fix:
     the spline stack's trained negll must beat the best *Gaussian* fit —

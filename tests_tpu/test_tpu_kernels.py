@@ -293,6 +293,46 @@ def test_fused_coupling_stack_on_hardware(cpu):
     assert e_k <= max(4.0 * e_j, 1e-4), (e_k, e_j)
 
 
+def test_fused_spline_stack_on_hardware(cpu):
+    """The fused coupling kernel's RQ-SPLINE leg vs the f64 CPU oracle on
+    the chip — the slab-layout epilogue (softmax knots, one-hot bin
+    selects, stable two-root inverse) has no CPU-interpret coverage of
+    its Mosaic lowering, exactly the round-2 escape class."""
+    from enflows_tpu.bijectors import spline_coupling_stack
+    from enflows_tpu.ops.pallas.coupling import (
+        fused_coupling_forward_and_ladj, is_fusible_coupling_stack)
+
+    dim = 16
+    stack = spline_coupling_stack(jax.random.PRNGKey(30), dim,
+                                  n_layers=3, hidden=(64, 64), n_bins=8)
+    stack = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(p.size % 97), p.shape, p.dtype), stack)
+    assert is_fusible_coupling_stack(stack, dim)
+    x = jax.random.normal(jax.random.PRNGKey(31), (2048, dim), F)
+
+    y_k, l_k = fused_coupling_forward_and_ladj(stack, x)
+    y_j, l_j = stack.forward_and_ladj(x)
+    with x64_cpu(cpu):
+        y_64, l_64 = to64(stack).forward_and_ladj(
+            jnp.asarray(np.asarray(x, np.float64)))
+    _gate(y_k, y_j, y_64, "spline y", slack=6.0, floor_rel=1e-3)
+    _gate(l_k, l_j, l_64, "spline ladj", slack=6.0, floor_rel=1e-3)
+
+    # Inverse leg on hardware (fresh, well-conditioned inputs — the
+    # bound-squashed regime is f32-ill-conditioned on every path):
+    inv = stack.inverse()
+    z = jax.random.normal(jax.random.PRNGKey(32), (2048, dim), F)
+    yi_k, li_k = fused_coupling_forward_and_ladj(inv, z)
+    yi_j, li_j = inv.forward_and_ladj(z)
+    with x64_cpu(cpu):
+        yi_64, li_64 = to64(inv).forward_and_ladj(
+            jnp.asarray(np.asarray(z, np.float64)))
+    _gate(yi_k, yi_j, yi_64, "spline inv y", slack=6.0, floor_rel=1e-3)
+    _gate(li_k, li_j, li_64, "spline inv ladj", slack=6.0,
+          floor_rel=1e-3)
+
+
 def test_multirow_packed_on_hardware(cpu):
     """d > 128 multirow layout on the chip: fwd/ladj and the Pallas
     backward vs the f64 CPU oracle (round-4 layout; CPU interpret mode
