@@ -26,6 +26,7 @@ MODULES = [
     "enflows_tpu.bijectors.johnson",
     "enflows_tpu.bijectors.householder",
     "enflows_tpu.bijectors.coupling",
+    "enflows_tpu.bijectors.spline",
     "enflows_tpu.distributions.base",
     "enflows_tpu.distributions.johnson_su",
     "enflows_tpu.train.whitening",
