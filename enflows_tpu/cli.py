@@ -66,7 +66,7 @@ def cmd_train(cfg):
                             batch_size=cfg.train.batch_size,
                             nsteps=cfg.train.nsteps,
                             antithetic=cfg.train.antithetic, key=key,
-                            metrics=log)
+                            stl=cfg.train.stl, metrics=log)
         hist = res.nelbo_history
 
     if log is not None:

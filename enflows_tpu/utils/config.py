@@ -26,6 +26,8 @@ class FlowConfig:
     stages: list[str] = field(default_factory=lambda: [
         "center_stretch_inv", "johnson", "center_stretch_inv", "johnson"])
     householder_reflections: int = 2
+    coupling_hidden: list[int] = field(default_factory=lambda: [32, 32])
+    coupling_bins: int = 8           # spline_coupling stages
     dtype: str = "float32"
 
 
@@ -39,6 +41,7 @@ class TrainConfig:
     batch_size: int = 100            # ELBO path
     nsteps: int = 1000               # ELBO path
     antithetic: bool = True
+    stl: bool = False                # sticking-the-landing VI gradients
     seed: int = 0
 
 
@@ -219,6 +222,20 @@ def build_flow(cfg: FlowConfig):
             key, k = jax.random.split(key)
             V = jax.random.normal(k, (cfg.householder_reflections, d), dtype)
             stages.append(Householder(V=V).canonicalize())
+        elif kind == "coupling":
+            from ..bijectors import init_affine_coupling
+            key, k = jax.random.split(key)
+            stages.append(init_affine_coupling(
+                k, d, tuple(cfg.coupling_hidden), dtype=dtype))
+        elif kind == "spline_coupling":
+            from ..bijectors import init_rq_spline_coupling
+            key, k = jax.random.split(key)
+            stages.append(init_rq_spline_coupling(
+                k, d, tuple(cfg.coupling_hidden),
+                n_bins=cfg.coupling_bins, dtype=dtype))
+        elif kind == "reverse":
+            from ..bijectors import Permute
+            stages.append(Permute(perm=tuple(range(d - 1, -1, -1))))
         else:
             raise ValueError(f"unknown stage kind: {kind}")
     return Chain.of(*stages)

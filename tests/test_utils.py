@@ -161,6 +161,21 @@ def test_build_flow_from_config():
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
 
 
+def test_build_flow_coupling_and_spline_stages():
+    cfg = load_config(None, [
+        "--flow.dim=4",
+        "--flow.stages=[\"coupling\", \"reverse\", \"spline_coupling\"]",
+        "--flow.coupling_hidden=[8]", "--flow.coupling_bins=4"])
+    flow = build_flow(cfg.flow)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 4))
+    y, ladj = flow.forward_and_ladj(x)
+    assert y.shape == (6, 4) and ladj.shape == (6,)
+    # zero-initialized conditioners: exact identity modulo the reversal
+    np.testing.assert_allclose(np.asarray(flow.inverse().forward(y)),
+                               np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ladj), 0.0, atol=1e-6)
+
+
 def test_cli_train_smoke(capsys):
     from enflows_tpu.cli import main
     rc = main(["train", "--flow.dim=1", "--train.nepochs=1",
