@@ -102,12 +102,12 @@ def _pick_tile(flat_params, dim, static_plan=None) -> int | None:
     # the dim=16 OOM had near-zero weights and a 22.75 MB stack):
     stack_row = maxw * 4 * 2
     if static_plan is not None:
-        for it in static_plan:
-            if it[0] == "spline":
-                K = it[3][0]
-                lanes = -(-(dim // 2) // 128) * 128
-                stack_row += lanes * 4 * (5 * K + 2)
-                break
+        # Max K over ALL spline items: a chain mixing bin counts must be
+        # budgeted for its largest epilogue, not the first one seen.
+        Ks = [it[3][0] for it in static_plan if it[0] == "spline"]
+        if Ks:
+            lanes = -(-(dim // 2) // 128) * 128
+            stack_row += lanes * 4 * (5 * max(Ks) + 2)
     for tile in _TILE_CANDIDATES:
         if wbytes + tile * maxw * 4 * 4 <= _VMEM_BUDGET \
                 and tile * stack_row <= _VMEM_BUDGET:
@@ -323,6 +323,10 @@ def _spline_slab_epilogue(x, h, da, K, bound, inverted):
         nx, ny = cx + wsz_k, cy + hsz_k
         lo, hi = (cy, ny) if inverted else (cx, nx)
         m = (x >= lo) & (x < hi) if k + 1 < K else (x >= lo)
+        # Restrict every bin mask to in-range lanes BEFORE the bin-0 park:
+        # without it, x >= +bound lanes satisfy both bin 0 (park) and the
+        # open-ended last bin, double-summing their accumulated params.
+        m = m & in_range
         if k == 0:
             m = m | ~in_range     # park out-of-range lanes in bin 0
         oh = m.astype(x.dtype)

@@ -125,7 +125,9 @@ def optimize_elbo(
 
     ``stl=True`` switches to the sticking-the-landing path-derivative
     gradient (:func:`neg_elbo_stl`) — lower-variance near convergence at
-    the cost of one extra inverse pass per step.
+    the cost of one extra inverse pass per step. The ``nelbo_history``
+    (and streamed metrics) always record the STANDARD nELBO scale, so
+    histories are step-for-step comparable across the two estimators.
 
     ``metrics`` (optional ``utils.MetricsLogger``): streams per-step nELBO
     records out of the compiled scan (opt-in; host callback serializes
@@ -166,6 +168,18 @@ def optimize_elbo(
         loss = neg_elbo_stl if stl else neg_elbo
         nelbo, grads = jax.value_and_grad(loss)(
             flow, logdensity_fn, xi, fused_c)
+        if stl:
+            # Record the STANDARD nELBO in the history so stl=True and
+            # stl=False runs are comparable step-for-step (ADVICE r4):
+            # the STL value differs from it exactly by the empirical-vs-
+            # analytic base entropy, computable from xi alone —
+            #   std = stl - mean(log N(xi)) - dim/2 (log 2pi + 1)
+            # (exact to the round-trip roundoff; the STL value itself is
+            # still the one differentiated).
+            nb, nd = xi.shape
+            mean_logN = (-0.5 * jnp.sum(xi * xi) / nb
+                         - 0.5 * nd * _LOG_2PI)
+            nelbo = nelbo - mean_logN - 0.5 * (_LOG_2PI + 1.0) * nd
         updates, opt_state = optimizer.update(grads, opt_state, flow)
         flow = optax.apply_updates(flow, updates)
         flow = flow.canonicalize()
