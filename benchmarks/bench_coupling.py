@@ -191,6 +191,56 @@ def main():
     out["spline_vs_affine_cost"] = round(
         out["jnp_f32"]["evals_per_s"]
         / out["spline_jnp_f32"]["evals_per_s"], 2)
+
+    # --- TRAIN-step A/B (VERDICT r4 next #2): full loss+grad+update ---
+    # The fused forward's custom-vjp backward re-runs the FULL jnp
+    # forward (ops/pallas/coupling.py _fused_coupling_bwd), so the fused
+    # train step costs pallas-fwd + jnp-fwd + jnp-bwd vs the std path's
+    # jnp-fwd + jnp-bwd. These rows measure that tax directly; the
+    # trainers' auto-dispatch follows THESE numbers, not the fwd-only
+    # rows above.
+    import optax
+    from enflows_tpu.train.whitening import (mvnormal_negll,
+                                             mvnormal_negll_coupling)
+
+    def train_ab(stack, x, label):
+        opt = optax.adam(1e-6)
+
+        def make_body(loss_fn):
+            def body(carry):
+                flow, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(flow, x)
+                updates, opt_state = opt.update(grads, opt_state, flow)
+                flow = optax.apply_updates(flow, updates).canonicalize()
+                return (flow, opt_state)
+            return body
+
+        carry = (stack, opt.init(stack))
+        n = x.shape[0]
+        st_std = slope_stats(make_body(mvnormal_negll), carry, k_hi=16)
+        st_fus = slope_stats(make_body(mvnormal_negll_coupling), carry,
+                             k_hi=16)
+        ratio = st_std["median"] / st_fus["median"]
+        print(f"[coupling] TRAIN {label}: std {st_std['median']*1e3:.2f} "
+              f"ms ({n/st_std['median']/1e6:.1f}M samples/s, spread "
+              f"{st_std['spread']:.2f}x) | fused "
+              f"{st_fus['median']*1e3:.2f} ms "
+              f"({n/st_fus['median']/1e6:.1f}M samples/s, spread "
+              f"{st_fus['spread']:.2f}x) -> fused is {ratio:.2f}x",
+              file=sys.stderr)
+        return {"std_samples_per_s": round(n / st_std["median"]),
+                "fused_samples_per_s": round(n / st_fus["median"]),
+                "fused_over_std": round(ratio, 2),
+                "spread_std": round(st_std["spread"], 2),
+                "spread_fused": round(st_fus["spread"], 2)}
+
+    x16k = x[:256]            # the old 16K-element dispatch threshold
+    out["train_affine_128k"] = train_ab(stack, x, "affine 128K")
+    out["train_affine_16k_elems"] = train_ab(stack, x16k,
+                                             "affine 256 rows")
+    out["train_spline_128k"] = train_ab(spl, x, "spline 128K")
+    out["train_spline_16k_elems"] = train_ab(spl, x16k,
+                                             "spline 256 rows")
     print(json.dumps(out))
 
 

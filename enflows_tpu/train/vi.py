@@ -142,16 +142,33 @@ def optimize_elbo(
 
     # Auto (None) is TPU-only: interpret-mode pallas in the VI scan is
     # ~100x slow on CPU; True forces the fused path on any backend
-    # (tests), False forces jnp.
-    from ..ops.pallas.coupling import is_fusible_coupling_stack
+    # (tests), False forces jnp. A mesh no longer disables the fused
+    # path (VERDICT r4 next #1): the scan runs inside shard_map, each
+    # shard pushes its LOCAL slice of the MC batch through the kernel,
+    # and loss/grads are pmean'd.
+    from ..ops.pallas.coupling import (
+        coupling_train_dispatch_min_elements, is_fusible_coupling_stack)
+    total_batch = batch_size * (2 if antithetic else 1)
+    nshards = mesh.shape[batch_axis] if mesh is not None else 1
     if use_fused_coupling is None:
-        fused_c = (mesh is None
-                   and jax.default_backend() == "tpu"
+        # Auto-dispatch keys on the MEASURED train-step crossover (the
+        # fused step differentiates through the kernel — pallas fwd +
+        # pallas recompute-bwd — which only amortizes at large MC
+        # batches; see coupling_train_dispatch_min_elements).
+        fused_c = (jax.default_backend() == "tpu"
+                   and (total_batch // nshards) * dim >=
+                   coupling_train_dispatch_min_elements(initial_flow)
                    and is_fusible_coupling_stack(initial_flow, dim,
                                                  dtype))
     else:
         fused_c = bool(use_fused_coupling) and is_fusible_coupling_stack(
             initial_flow, dim, dtype)
+
+    sharded_fused = mesh is not None and fused_c
+    if sharded_fused and total_batch % nshards:
+        raise ValueError(
+            f"MC batch {total_batch} must divide over {nshards} "
+            f"'{batch_axis}' shards for the fused sharded path")
 
     def step(carry, i):
         flow, opt_state = carry
@@ -159,7 +176,15 @@ def optimize_elbo(
         xi = jax.random.normal(k, (batch_size, dim), dtype=dtype)
         if antithetic:
             xi = jnp.concatenate([xi, -xi], axis=0)  # reference :57
-        if mesh is not None:
+        if sharded_fused:
+            # Inside shard_map: every shard draws the identical global
+            # batch (same key) and keeps its own contiguous slice, so
+            # the global MC sample — and hence the pmean'd loss/grads —
+            # matches the unsharded run draw-for-draw.
+            local_n = total_batch // nshards
+            idx = lax.axis_index(batch_axis)
+            xi = lax.dynamic_slice_in_dim(xi, idx * local_n, local_n)
+        elif mesh is not None:
             # Shard the MC batch; XLA inserts the gradient psum from the
             # sharding annotations (data-parallel ELBO).
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -180,6 +205,12 @@ def optimize_elbo(
             mean_logN = (-0.5 * jnp.sum(xi * xi) / nb
                          - 0.5 * nd * _LOG_2PI)
             nelbo = nelbo - mean_logN - 0.5 * (_LOG_2PI + 1.0) * nd
+        if sharded_fused:
+            # Local means -> global-batch consensus (applied after the
+            # STL scale correction, which is linear, so the pmean of
+            # locally-corrected values IS the global corrected value).
+            nelbo = lax.pmean(nelbo, batch_axis)
+            grads = lax.pmean(grads, batch_axis)
         updates, opt_state = optimizer.update(grads, opt_state, flow)
         flow = optax.apply_updates(flow, updates)
         flow = flow.canonicalize()
@@ -187,12 +218,19 @@ def optimize_elbo(
             metrics.from_jit(i, nelbo=nelbo)
         return (flow, opt_state), nelbo
 
-    @jax.jit
-    def run(flow, opt_state):
+    def run_body(flow, opt_state):
         with jax.named_scope("enflows.train.vi"):
             (flow, opt_state), hist = lax.scan(
                 step, (flow, opt_state), jnp.arange(nsteps))
         return flow, opt_state, hist
+
+    if sharded_fused:
+        from jax.sharding import PartitionSpec as P
+        run = jax.jit(jax.shard_map(
+            run_body, mesh=mesh, in_specs=(P(), P()),
+            out_specs=(P(), P(), P()), check_vma=False))
+    else:
+        run = jax.jit(run_body)
 
     flow, opt_state, hist = run(initial_flow, opt_state)
     if nelbo_history is not None:

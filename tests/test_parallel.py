@@ -390,3 +390,102 @@ def test_build_sharded_smc_step_no_retrace(mesh):
     # the same compiled step + ladder.
     assert sizes[1] == sizes[0], sizes
     assert sizes[0] <= 1, sizes
+
+
+# ------------------------------------------------------------------
+# Fused kernels UNDER the mesh (VERDICT r4 next #1): the trainers keep
+# pallas-kernel dispatch when a batch-sharded mesh is passed — each shard
+# runs the kernel on its local block inside shard_map, loss/grads pmean.
+# Equivalence gates vs the unsharded fused runs; replication of the
+# consensus outputs is machine-checked (VERDICT r4 next #6).
+
+def _assert_tree_replicated(tree, name):
+    from enflows_tpu.utils import assert_replicated_consistent
+    for i, leaf in enumerate(jax.tree.leaves(tree)):
+        assert_replicated_consistent(leaf, f"{name}[{i}]")
+
+
+def test_whitening_fused_packed_sharded_matches_unsharded():
+    import optax
+    from enflows_tpu import ScaleShift, Johnson, compose
+    from enflows_tpu.train import optimize_whitening
+
+    F = jnp.float32
+    flow = compose(
+        Johnson(gamma=jnp.zeros(2, F), delta=5.0 * jnp.ones(2, F),
+                xi=jnp.zeros(2, F), lam=5.0 * jnp.ones(2, F)),
+        ScaleShift(a=jnp.ones(2, F), b=jnp.zeros(2, F)))
+    X = 1.5 * jax.random.normal(jax.random.PRNGKey(3), (4096, 2), F)
+    m = make_mesh({"batch": 8}, axis_name="batch")
+    r_sh = optimize_whitening(X, flow, optax.adagrad(0.05), nbatches=4,
+                              nepochs=2, use_fused=True, mesh=m)
+    r_un = optimize_whitening(X, flow, optax.adagrad(0.05), nbatches=4,
+                              nepochs=2, use_fused=True)
+    np.testing.assert_allclose(np.asarray(r_sh.negll_history),
+                               np.asarray(r_un.negll_history),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(r_sh.result),
+                    jax.tree.leaves(r_un.result)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    # The shard_map out_specs declare the trained flow replicated
+    # (check_vma=False) — machine-check it, don't trust it.
+    _assert_tree_replicated(r_sh.result, "whitening.flow")
+    _assert_tree_replicated(r_sh.negll_history, "whitening.history")
+
+
+def test_whitening_fused_coupling_sharded_matches_unsharded():
+    import optax
+    from enflows_tpu.bijectors import coupling_stack
+    from enflows_tpu.train import optimize_whitening
+
+    dim = 4
+    key = jax.random.PRNGKey(11)
+    X = jax.random.normal(key, (2048, dim), jnp.float32)
+    stack = coupling_stack(jax.random.fold_in(key, 1), dim,
+                           n_layers=2, hidden=(8, 8))
+    m = make_mesh({"batch": 8}, axis_name="batch")
+    r_sh = optimize_whitening(X, stack, optax.adam(3e-3), nbatches=2,
+                              nepochs=2, use_fused="coupling", mesh=m)
+    r_un = optimize_whitening(X, stack, optax.adam(3e-3), nbatches=2,
+                              nepochs=2, use_fused="coupling")
+    np.testing.assert_allclose(np.asarray(r_sh.negll_history),
+                               np.asarray(r_un.negll_history),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(r_sh.result),
+                    jax.tree.leaves(r_un.result)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    _assert_tree_replicated(r_sh.result, "whitening.coupling.flow")
+
+
+def test_vi_fused_coupling_sharded_matches_unsharded():
+    import optax
+    from enflows_tpu.bijectors import coupling_stack
+    from enflows_tpu.train import optimize_elbo
+
+    dim = 4
+    flow = coupling_stack(jax.random.PRNGKey(5), dim, n_layers=2,
+                          hidden=(8, 8))
+    logp = lambda z: -0.5 * jnp.sum((z - 1.0) ** 2, axis=-1)
+    m = make_mesh({"batch": 8}, axis_name="batch")
+    kw = dict(dim=dim, batch_size=128, nsteps=3,
+              optimizer=optax.adam(3e-3), use_fused_coupling=True)
+    r_sh = optimize_elbo(logp, flow, mesh=m, **kw)
+    r_un = optimize_elbo(logp, flow, **kw)
+    np.testing.assert_allclose(np.asarray(r_sh.nelbo_history),
+                               np.asarray(r_un.nelbo_history),
+                               rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(r_sh.result),
+                    jax.tree.leaves(r_un.result)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    _assert_tree_replicated(r_sh.result, "vi.flow")
+
+    # STL under the mesh: the scale-corrected history still matches the
+    # unsharded fused STL run (correction is linear, pmean after).
+    r_sh2 = optimize_elbo(logp, flow, mesh=m, stl=True, **kw)
+    r_un2 = optimize_elbo(logp, flow, stl=True, **kw)
+    np.testing.assert_allclose(np.asarray(r_sh2.nelbo_history),
+                               np.asarray(r_un2.nelbo_history),
+                               rtol=2e-5, atol=2e-6)

@@ -401,3 +401,78 @@ def test_fused_vg_route_on_hardware(cpu):
             jnp.asarray(np.asarray(q, np.float64)))
     _gate(lp_k, lp_j, lp64, "vg logp", slack=6.0, floor_rel=1e-4)
     _gate(g_k, g_j, g64, "vg grad", slack=6.0, floor_rel=1e-4)
+
+
+def test_fused_train_under_shard_map_on_hardware(cpu):
+    """Fused kernels UNDER the mesh (VERDICT r4 next #1), compiled on the
+    real chip: optimize_whitening with a (1-device) batch mesh keeps the
+    packed-kernel dispatch inside jax.shard_map and matches the
+    unsharded fused run. n>1-shard equivalence is gated on the 8-device
+    CPU mesh (tests/test_parallel.py); this row proves the pallas_call +
+    shard_map + pmean composition lowers and runs ON HARDWARE."""
+    import optax
+    from enflows_tpu.parallel import make_mesh
+    from enflows_tpu.train import optimize_whitening
+
+    d = 2
+    chain = chain_for(d)
+    X = 1.2 * jax.random.normal(jax.random.PRNGKey(12), (1 << 17, d), F)
+    mesh = make_mesh({"batch": 1}, axis_name="batch")
+    r_sh = optimize_whitening(X, chain, optax.adagrad(0.05), nbatches=2,
+                              nepochs=2, mesh=mesh)
+    r_un = optimize_whitening(X, chain, optax.adagrad(0.05), nbatches=2,
+                              nepochs=2)
+    # Auto dispatch must have selected the fused path on BOTH sides
+    # (batch 64K x d=2 over 1 shard clears the 1<<16 element threshold);
+    # equality of histories to f32 tolerance proves the same math ran.
+    np.testing.assert_allclose(np.asarray(r_sh.negll_history),
+                               np.asarray(r_un.negll_history),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(r_sh.result),
+                    jax.tree.leaves(r_un.result)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_coupling_pallas_backward_on_hardware(cpu):
+    """The PALLAS coupling backward (round 5: recompute-in-VMEM vjp
+    under the raised vmem limit) vs f64 CPU AD, compiled on the chip —
+    affine and spline stacks. The escape class: a backward that is
+    valid in CPU interpret mode but OOMs or mis-lowers under Mosaic."""
+    from enflows_tpu.bijectors import coupling_stack, spline_coupling_stack
+    from enflows_tpu.ops.pallas.coupling import (
+        fused_coupling_forward_and_ladj, _pick_tile_bwd, _stack_plan)
+
+    dim = 16
+    for name, stack in [
+        ("affine", coupling_stack(jax.random.PRNGKey(30), dim,
+                                  n_layers=2, hidden=(64, 64))),
+        ("spline", spline_coupling_stack(jax.random.PRNGKey(31), dim,
+                                         n_layers=2, hidden=(64, 64),
+                                         n_bins=8)),
+    ]:
+        stack = jax.tree.map(
+            lambda p: p + 0.05 * jax.random.normal(
+                jax.random.PRNGKey(p.size % 89), p.shape, p.dtype), stack)
+        with jax.ensure_compile_time_eval():
+            plan = _stack_plan(stack, dim)
+            assert _pick_tile_bwd(plan[0], plan[1], dim) is not None, \
+                f"{name}: pallas backward must be in reach at this size"
+        x = 0.8 * jax.random.normal(jax.random.PRNGKey(32), (1024, dim), F)
+
+        def loss(c, xx, fwd):
+            y, l = fwd(c, xx)
+            return jnp.sum(jnp.sin(y)) + 2.0 * jnp.sum(l)
+
+        gk = jax.grad(loss, argnums=(0, 1))(
+            stack, x, fused_coupling_forward_and_ladj)
+        gj = jax.grad(loss, argnums=(0, 1))(
+            stack, x, lambda c, xx: c.forward_and_ladj(xx))
+        with x64_cpu(cpu):
+            g64 = jax.grad(loss, argnums=(0, 1))(
+                to64(stack), jnp.asarray(np.asarray(x, np.float64)),
+                lambda c, xx: c.forward_and_ladj(xx))
+        for a, b, c in zip(jax.tree.leaves(gk), jax.tree.leaves(gj),
+                           jax.tree.leaves(g64)):
+            _gate(a, b, c, f"{name} pallas-bwd grad", slack=8.0,
+                  floor_rel=2e-4)
