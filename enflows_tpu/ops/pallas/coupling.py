@@ -60,8 +60,8 @@ scoped stack under a RAISED vmem limit (``_BWD_VMEM_LIMIT``; the v5e
 has 128MB of VMEM and the 16MB scoped default cannot hold the weight
 transposes + grad accumulators), and per-tile param-grad partials are
 summed on the XLA side. Measured train step (loss+grad+update) at the
-BASELINE config: 2.23x over the std jnp step for affine stacks, 1.15x
-for splines (benchmarks/bench_coupling.py train rows — the previous
+BASELINE config: 2.23x over the std jnp step for affine stacks, 1.28x
+for splines (wide-block epilogue) (benchmarks/bench_coupling.py train rows — the previous
 jnp-recompute backward made the same step a 0.90x LOSS). Falls back to
 differentiating the jnp path when the backward tile picker declines.
 The fwd/bwd precision asymmetry is the standard mixed-precision trade
@@ -305,7 +305,7 @@ def is_fusible_coupling_stack(chain: Bijector, dim: int,
         return _pick_tile(planned[1], dim, planned[0]) is not None
 
 
-def _spline_slab_epilogue(x, h, da, K, bound, inverted, hoist=False):
+def _spline_slab_epilogue(x, h, da, K, bound, inverted):
     """RQ-spline transform of half-buffer ``x: (tile, da)`` from
     conditioner output ``h: (tile, da * (3K-1))`` in SLAB layout (see
     ``_stack_plan``): spline parameter p of lane j lives at column
@@ -315,42 +315,38 @@ def _spline_slab_epilogue(x, h, da, K, bound, inverted, hoist=False):
     ``bijectors.spline.rq_spline`` exactly (same floors, same stable
     two-root inverse). Returns (y, ladj_row).
 
-    ``hoist``: precompute the per-bin size/deriv slabs once instead of
-    recomputing them inside the accumulation loop. FORWARD kernels keep
-    the recompute form (2K extra exps buy a live set that fits the
-    default 16MB scoped stack at tile=1024); the BACKWARD kernel —
-    which runs under a raised vmem limit — hoists, because under AD the
-    recompute form saves residuals PER RECOMPUTE (~3K exp slabs) where
-    the hoisted form saves each slab once."""
+    The size/deriv slabs are computed in WIDE-BLOCK form — one exp /
+    one softplus over the full (tile, 2K*da) / (tile, (K-1)*da) param
+    block instead of 2K / 2K narrow (tile, da) ops. At da < 128 a
+    narrow slab op occupies a full VPU issue slot at fractional lane
+    utilization, so the wide form is both fewer ops AND full-lane
+    (measured +8% whole-kernel at the BASELINE config,
+    benchmarks/bench_spline_anatomy.py); under AD it also saves each
+    slab once instead of per recompute, shrinking the backward
+    kernel's residual stack."""
     slab = lambda k: h[:, k * da:(k + 1) * da]
 
-    # Softmax normalizers first (2 + 2 live slabs); bin sizes are then
-    # RECOMPUTED inside the single accumulation loop below — 2K extra
-    # exps per element buys a live set small enough for the scoped-VMEM
-    # stack at large tiles (the list-of-slabs form kept ~6K slabs alive
-    # at once and OOMed the 16 MB scoped limit at (tile=1024, K=8)).
+    # Softmax normalizers (2 + 2 live slabs), then ONE wide exp and ONE
+    # wide fma produce every bin size; same for the softplus derivs.
     mw = slab(0)
     mh = slab(K)
     for k in range(1, K):
         mw = jnp.maximum(mw, slab(k))
         mh = jnp.maximum(mh, slab(K + k))
-    zw = sum(jnp.exp(slab(k) - mw) for k in range(K))
-    zh = sum(jnp.exp(slab(K + k) - mh) for k in range(K))
     cw = (1.0 - _MIN_BIN * K) * 2.0 * bound
-    size_w = lambda k: 2.0 * bound * _MIN_BIN \
-        + cw * jnp.exp(slab(k) - mw) / zw
-    size_h = lambda k: 2.0 * bound * _MIN_BIN \
-        + cw * jnp.exp(slab(K + k) - mh) / zh
+    M = jnp.concatenate([mw] * K + [mh] * K, axis=1)
+    E = jnp.exp(h[:, :2 * K * da] - M)
+    eslab = lambda k: E[:, k * da:(k + 1) * da]
+    zw = sum(eslab(k) for k in range(K))
+    zh = sum(eslab(K + k) for k in range(K))
+    Z = jnp.concatenate([cw / zw] * K + [cw / zh] * K, axis=1)
+    SZ = 2.0 * bound * _MIN_BIN + E * Z
+    size_w = lambda k: SZ[:, k * da:(k + 1) * da]
+    size_h = lambda k: SZ[:, (K + k) * da:(K + k + 1) * da]
     one = jnp.ones_like(x)
+    D = _MIN_DERIV + jax.nn.softplus(h[:, 2 * K * da:] + _DERIV_SHIFT)
     deriv = lambda kn: one if kn in (0, K) else \
-        _MIN_DERIV + jax.nn.softplus(slab(2 * K + kn - 1) + _DERIV_SHIFT)
-    if hoist:
-        wsz = [size_w(k) for k in range(K)]
-        hsz = [size_h(k) for k in range(K)]
-        dv = [deriv(kn) for kn in range(K + 1)]
-        size_w = lambda k: wsz[k]
-        size_h = lambda k: hsz[k]
-        deriv = lambda kn: dv[kn]
+        D[:, (kn - 1) * da:kn * da]
 
     in_range = (x > -bound) & (x < bound)
     # One pass over bins with running left edges; each needed per-bin
@@ -405,7 +401,7 @@ def _spline_slab_epilogue(x, h, da, K, bound, inverted, hoist=False):
     return y, jnp.sum(ladj, axis=1, keepdims=True)
 
 
-def _tile_apply(static_plan, da, x, params, spline_hoist=False):
+def _tile_apply(static_plan, da, x, params):
     """Pure-function body of the fused kernel on one (tile, dim) block:
     (y_phys, ladj_row), both f32. Shared by the forward kernel and the
     backward kernel, which differentiates it with ``jax.vjp`` IN-KERNEL —
@@ -451,7 +447,7 @@ def _tile_apply(static_plan, da, x, params, spline_hoist=False):
                 # share the coupling layout.
                 K, bound = item[3]
                 new, row = _spline_slab_epilogue(
-                    tgt, h, da, K, bound, inverted, hoist=spline_hoist)
+                    tgt, h, da, K, bound, inverted)
             if src == 0:
                 hb = new
             else:
@@ -561,8 +557,7 @@ def _build_coupling_bwd_kernel(static_plan, dim, da, n_params):
         x = x_ref[:].astype(jnp.float32)
 
         def f(xx, ps):
-            return _tile_apply(static_plan, da, xx, ps,
-                               spline_hoist=True)
+            return _tile_apply(static_plan, da, xx, ps)
 
         _, vjp = jax.vjp(f, x, params)
         gx, gp = vjp((gy_ref[:].astype(jnp.float32),
