@@ -165,11 +165,56 @@ def _fused_hmc_accepts(sampler_kw: dict) -> bool:
     return all(k in accepted for k in sampler_kw)
 
 
+def _transport_khat(logdensity_fn: Callable, flow: Bijector, dim: int,
+                    key, dtype, n: int = 2048) -> float:
+    """PSIS k-hat of the transport fit: draw z ~ q (base through flow),
+    importance-weight against the target, fit the weight tail
+    (mcmc.diagnostics.pareto_khat). k-hat > 0.7 = q's tail under-covers
+    p WHERE q HAS SUPPORT. Blind spot (measured): HARD mode collapse —
+    no q-draw lands in a missed mode, so no heavy weight ever appears
+    (a fully-collapsed fit on a far-modes target scored k-hat 0.13).
+    ``_transport_coverage_gap`` covers that case; use both."""
+    from .distributions.base import std_normal_logpdf_sum
+    from .mcmc.diagnostics import pareto_khat
+
+    xi = jax.random.normal(key, (n, dim), dtype)
+    z, ladj = flow.forward_and_ladj(xi)
+    log_q = std_normal_logpdf_sum(xi) - ladj
+    logp = jax.vmap(logdensity_fn)(z)
+    return pareto_khat(np.asarray(logp - log_q, np.float64))
+
+
+def _transport_coverage_gap(logdensity_fn: Callable, flow: Bijector,
+                            dim: int, key, dtype, n: int = 2048,
+                            inflate: float = 4.0) -> float:
+    """Hard-mode-collapse detector: probe with the INFLATED-base
+    pushforward r (base scaled ``inflate``x through the same flow — its
+    density is exactly computable from the same forward pass) and
+    return the p-mass-weighted standard deviation of log q - log p
+    (self-normalized IS through r). If q tracks p this is ~0 nats; a
+    missed mode that r reaches contributes p-mass at log q ~ -inf.
+    Calibration (2D bimodal family, f64): well-fit 0.17-0.37 nats,
+    usable-but-rough 1.7, hard-collapsed 10-33 -> threshold 3.0."""
+    from .distributions.base import std_normal_logpdf_sum
+
+    xi = jax.random.normal(key, (n, dim), dtype) * inflate
+    z, ladj = flow.forward_and_ladj(xi)
+    log_r = (-0.5 * jnp.sum((xi / inflate) ** 2, axis=-1)
+             - dim * (0.5 * np.log(2 * np.pi) + np.log(inflate)) - ladj)
+    log_q = std_normal_logpdf_sum(xi) - ladj
+    logp = jax.vmap(logdensity_fn)(z)
+    w = jax.nn.softmax(logp - log_r)
+    ri = log_q - logp
+    mean = jnp.sum(w * ri)
+    return float(jnp.sqrt(jnp.sum(w * (ri - mean) ** 2)))
+
+
 def infer(logdensity_fn: Callable, *, dim: int, key,
           method: str = "nuts",
           num_chains: int = 16, num_warmup: int = 500,
           num_samples: int = 1000,
           precondition: Optional[str] = "auto",
+          precondition_kind: str = "auto",
           flow: Optional[Bijector] = None,
           data: Optional[jax.Array] = None,
           flow_template: Optional[Callable] = None,
@@ -189,10 +234,29 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
 
     Preconditioning: ``flow`` (a whitened->data bijector, e.g. from
     ``train.optimize_whitening`` inverted or ``train.optimize_elbo``) is
-    used as-is; else ``precondition='auto'`` fits ``flow_template(dim, key,
-    dtype)`` (default: ``default_flow_template``) by ``vi_steps`` ELBO
-    steps; ``precondition=None`` samples the raw target. Draws are always
-    returned in DATA space.
+    used as-is; else ``precondition='auto'`` fits a transport by
+    ``vi_steps`` ELBO steps; ``precondition=None`` samples the raw
+    target. Draws are always returned in DATA space.
+
+    ``precondition_kind`` selects the transport family for the auto fit
+    (VERDICT r4 next #8): 'elementwise' (default_flow_template),
+    'affine' / 'spline' (coupling_flow_template), or 'auto' — an
+    ESCALATION ladder: fit the cheap elementwise family; judge it with
+    TWO complementary diagnostics — PSIS k-hat
+    (mcmc.diagnostics.pareto_khat, <= 0.7: q's tail covers p where q
+    has support) and the inflated-probe coverage gap
+    (``_transport_coverage_gap``, <= 3.0 nats: no p-mass sits where q
+    is absent — the HARD-mode-collapse case k-hat is measurably blind
+    to). On failure refit with the spline family; if that also fails
+    (cold reverse-KL VI is mode-seeking — examples/
+    spline_multimodal_2d.py measures the collapse), run a tempered-SMC
+    bridge and MLE-whiten a spline stack on its draws (forward-KL =
+    mode-covering), taking the transport with the best severity. The
+    chosen family and its diagnostics are reported as
+    ``precondition_family`` / ``precondition_khat`` /
+    ``precondition_coverage_gap``. A user ``flow_template`` pins the
+    ladder to that template alone. Draws are always returned in DATA
+    space.
 
     The 'auto' transport minimizes reverse KL and is therefore
     MODE-SEEKING: on multimodal targets (e.g. anything downstream of a
@@ -267,24 +331,119 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
                                  nepochs=whiten_epochs, mesh=mesh,
                                  batch_axis=axis)
         used_flow = invert(fit.result)
+    pre_diag: dict = {}
+    raw_sampling = False       # rescue-escalated SMC samples the raw target
     if used_flow is None and precondition == "auto":
         from .train import optimize_elbo
-        template_fn = flow_template or default_flow_template
-        init_flow = template_fn(dim, k_fit, dtype)
 
         def batched_logp(z):
             flat = z.reshape(-1, dim)
             vals = jax.vmap(logdensity_fn)(flat)
             return vals.reshape(z.shape[:-1])
 
-        vi = optimize_elbo(batched_logp, init_flow, vi_optimizer, dim=dim,
-                           batch_size=vi_batch, nsteps=vi_steps,
-                           key=k_fit, mesh=mesh, batch_axis=axis,
-                           dtype=dtype)
-        used_flow = vi.result
+        # Family ladder (VERDICT r4 next #8): which templates to try, in
+        # cost order. A user-passed flow_template or an explicit
+        # precondition_kind pins one family; the default escalates
+        # elementwise -> spline, gated on the PSIS k-hat of each fit
+        # (<= 0.7 = trustworthy; ELBO alone cannot flag mode collapse).
+        if flow_template is not None:
+            ladder = [("custom", flow_template)]
+        elif precondition_kind == "elementwise" or dim < 2:
+            ladder = [("elementwise", default_flow_template)]
+        elif precondition_kind == "affine":
+            ladder = [("affine", coupling_flow_template(kind="affine"))]
+        elif precondition_kind == "spline":
+            ladder = [("spline", coupling_flow_template(kind="spline"))]
+        elif precondition_kind == "auto":
+            ladder = [("elementwise", default_flow_template),
+                      ("spline", coupling_flow_template(kind="spline"))]
+        else:
+            raise ValueError(
+                f"precondition_kind must be 'auto'|'elementwise'|"
+                f"'affine'|'spline', got {precondition_kind!r}")
 
-    if used_flow is not None:
-        pre = flow_preconditioned(logdensity_fn, used_flow)
+        def fit_quality(fl, i):
+            kh = _transport_khat(logdensity_fn, fl, dim,
+                                 jax.random.fold_in(k_fit, 101 + i),
+                                 dtype)
+            gap = _transport_coverage_gap(
+                logdensity_fn, fl, dim,
+                jax.random.fold_in(k_fit, 201 + i), dtype)
+            # Scale-free severity: 1.0 = at threshold on the worse of
+            # the two complementary diagnostics.
+            return max(kh / 0.7, gap / 3.0), kh, gap
+
+        best = None                 # (severity, khat, gap, name, flow)
+        for i, (name, template_fn) in enumerate(ladder):
+            init_flow = template_fn(dim, jax.random.fold_in(k_fit, i),
+                                    dtype)
+            vi = optimize_elbo(batched_logp, init_flow, vi_optimizer,
+                               dim=dim, batch_size=vi_batch,
+                               nsteps=vi_steps, key=k_fit, mesh=mesh,
+                               batch_axis=axis, dtype=dtype)
+            sev, kh, gap = fit_quality(vi.result, i)
+            if best is None or sev < best[0]:
+                best = (sev, kh, gap, name, vi.result)
+            if sev <= 1.0:
+                break
+        if best[0] > 1.0 and len(ladder) > 1 and method != "smc":
+            # Reverse-KL VI is mode-seeking: a k-hat this bad after the
+            # spline fit usually means mode collapse, which more VI
+            # cannot fix. Escalate to the framework's own mode-covering
+            # recipe (examples/spline_multimodal_2d.py): a tempered-SMC
+            # bridge for target-covering draws, then a forward-KL
+            # (MLE-whitening) spline fit on them, inverse as transport.
+            from .bijectors import invert
+            from .smc import smc_sample
+            from .train import optimize_whitening
+            parts, log_w, _lz, _ = smc_sample(
+                logdensity_fn, jax.random.fold_in(k_fit, 7), dim=dim,
+                num_particles=4096, dtype=dtype)
+            w = np.exp(np.asarray(log_w, np.float64)
+                       - np.max(np.asarray(log_w)))
+            w /= w.sum()
+            idx = np.random.default_rng(0).choice(
+                len(w), size=len(w), p=w)
+            draws_cov = jnp.asarray(np.asarray(parts)[idx], dtype)
+            white = invert(coupling_flow_template(kind="spline")(
+                dim, jax.random.fold_in(k_fit, 8), dtype))
+            fit = optimize_whitening(draws_cov, white, vi_optimizer,
+                                     nbatches=whiten_batches,
+                                     nepochs=whiten_epochs, mesh=mesh,
+                                     batch_axis=axis)
+            rescue = invert(fit.result)
+            sev, kh, gap = fit_quality(rescue, 9)
+            if sev < best[0]:
+                best = (sev, kh, gap, "smc+spline-whitening", rescue)
+        pre_diag = {"precondition_family": best[3],
+                    "precondition_khat": float(best[1]),
+                    "precondition_coverage_gap": float(best[2])}
+        used_flow = best[4]
+        if best[3] == "smc+spline-whitening" and method in ("nuts",
+                                                            "hmc",
+                                                            "chees"):
+            # The ladder only reaches the rescue on strong multimodality
+            # evidence, and fixed-kernel MCMC cannot finish the job
+            # even through a GOOD covering transport: a continuous
+            # bijection represents multimodal mass via low-density
+            # base-space bridges that HMC-family chains do not cross —
+            # measured on the ladder-mechanism test target, a
+            # 0.87-nat-gap transport still left ALL chains in one mode
+            # with rhat 1.01 (the silent failure mode). The final
+            # sampling therefore switches to tempered SMC on the RAW
+            # target (also measured: SMC through the transport loses
+            # the minority basin — the whitened pullback contorts it
+            # into thin structure the HMC mutations cannot hold, log_z
+            # off by exactly the majority mode's mass — while raw-space
+            # SMC resolves the 0.70/0.30 weights to 3 decimals). The
+            # fitted transport is still returned in ``result.flow``.
+            pre_diag["method_escalated_to"] = "smc"
+            method = "smc"
+            raw_sampling = True
+
+    sampling_flow = None if raw_sampling else used_flow
+    if sampling_flow is not None:
+        pre = flow_preconditioned(logdensity_fn, sampling_flow)
         target = pre.logdensity_fn
     else:
         pre = None
@@ -318,6 +477,7 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
             "sd": np.sqrt(var_w),
             "log_z": float(log_z),
             "weight_ess": float(1.0 / np.sum(w**2)),
+            **pre_diag,
         }
         return InferenceResult(draws=particles, diagnostics=diagnostics,
                                stats=infos, flow=used_flow)
@@ -350,5 +510,6 @@ def infer(logdensity_fn: Callable, *, dim: int, key,
                      dtype=dtype, **sampler_kw)
 
     diagnostics = summarize_draws(draws, stats)
+    diagnostics.update(pre_diag)
     return InferenceResult(draws=draws, diagnostics=diagnostics,
                            stats=stats, flow=used_flow)

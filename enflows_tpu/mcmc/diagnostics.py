@@ -165,3 +165,48 @@ def bfmi(energies) -> float:
     e = np.asarray(energies, np.float64)
     de = np.diff(e, axis=1)
     return float(np.mean(de ** 2) / np.var(e))
+
+
+def pareto_khat(log_weights) -> float:
+    """PSIS Pareto k-hat of importance log-weights (Vehtari, Simpson,
+    Gelman, Yao, Gabry 2024 "Pareto smoothed importance sampling";
+    GPD tail fit via the Zhang & Stephens 2009 profile-posterior
+    estimator, the arviz/loo reference method).
+
+    The standard variational-fit quality diagnostic (Yao et al. 2018
+    "Yes, but did it work?"): with w = p~(z)/q(z) for z ~ q,
+    k-hat <= 0.7 means the q-to-p importance correction has finite
+    enough variance to trust the fit; k-hat > 0.7 flags a transport
+    that is missing mass — mode collapse included, which ELBO values
+    alone cannot reveal without a reference. Used by ``infer``'s
+    precondition escalation.
+    """
+    lw = np.asarray(log_weights, np.float64).reshape(-1)
+    lw = lw[np.isfinite(lw)]
+    S = lw.size
+    if S < 20:
+        return float("inf")
+    lw = lw - lw.max()
+    M = int(min(0.2 * S, 3.0 * np.sqrt(S)))
+    tail = np.sort(lw)[-M:]
+    cutoff = np.sort(lw)[-M - 1]
+    x = np.exp(tail) - np.exp(cutoff)          # exceedances, ascending
+    x = x[x > 0.0]
+    n = x.size
+    if n < 5:
+        return float("inf")
+    # Zhang & Stephens profile posterior over b = -xi/sigma (the arviz
+    # _gpdfit formulation, signs and all).
+    prior_bs = 3.0
+    prior_k = 10.0
+    m_grid = 30 + int(np.sqrt(n))
+    j = np.arange(1, m_grid + 1, dtype=np.float64)
+    b = 1.0 - np.sqrt(m_grid / (j - 0.5))
+    b = b / (prior_bs * x[int(n / 4.0 + 0.5) - 1]) + 1.0 / x[-1]
+    k_j = np.mean(np.log1p(-b[:, None] * x[None, :]), axis=1)
+    l_j = n * (np.log(-(b / k_j)) - k_j - 1.0)
+    w_j = 1.0 / np.sum(np.exp(l_j[None, :] - l_j[:, None]), axis=1)
+    b_post = np.sum(b * w_j)
+    k = float(np.mean(np.log1p(-b_post * x)))
+    # Weakly-informative shrinkage (arviz): stabilizes small tails.
+    return float((k * n + prior_k * 0.5) / (n + prior_k))

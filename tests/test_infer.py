@@ -298,3 +298,91 @@ def test_infer_pushforward_with_unsupported_kwarg_falls_back(tmp_path):
                        dtype=jnp.float32, metrics=m)
     assert res.draws.shape == (16, 50, d)
     assert len(open(path).read().strip().splitlines()) > 0
+
+
+def _bimodal_logp(z):
+    # Asymmetric bimodal x0 (75% N(-2, 0.4^2) + 25% N(1.5, 0.7^2)) with a
+    # conditional x1 — harder than the symmetric example target (a
+    # CenterStretch can split symmetric mass around its center for free).
+    x0, x1 = z[..., 0], z[..., 1]
+    m = jnp.logaddexp(
+        jnp.log(0.75) - 0.5 * ((x0 + 2.0) / 0.4) ** 2 - jnp.log(0.4),
+        jnp.log(0.25) - 0.5 * ((x0 - 1.5) / 0.7) ** 2 - jnp.log(0.7)) \
+        - 0.5 * jnp.log(2 * jnp.pi)
+    c = -0.5 * ((x1 - 0.5 * x0) / 0.8) ** 2 \
+        - 0.5 * jnp.log(2 * jnp.pi) - jnp.log(0.8)
+    return m + c
+
+
+def test_infer_multimodal_escalation():
+    """VERDICT r4 next #8 'done' gate: a multimodal target solved through
+    PLAIN infer(logp, dim=...) — the precondition escalation ladder
+    (elementwise -> spline -> SMC-bridge + forward-KL spline whitening,
+    gated on PSIS k-hat) must deliver draws covering BOTH modes, which
+    cold mode-seeking VI alone measurably does not
+    (examples/spline_multimodal_2d.py)."""
+    res = ef.infer(_bimodal_logp, dim=2, key=jax.random.PRNGKey(3),
+                   vi_steps=200, vi_batch=256,
+                   whiten_batches=16, whiten_epochs=8,
+                   num_chains=8, num_warmup=200, num_samples=400,
+                   dtype=DT)
+    d = res.diagnostics
+    assert "precondition_khat" in d and "precondition_family" in d
+    x = np.asarray(res.draws, np.float64).reshape(-1, 2)
+    frac_right = float((x[:, 0] > 0).mean())
+    assert 0.12 < frac_right < 0.40, \
+        (f"mode collapse survived escalation: {frac_right:.2f} of mass "
+         f"right of 0, want ~0.25 (family {d['precondition_family']}, "
+         f"khat {d['precondition_khat']:.2f})")
+    # Mixture mean of x0: 0.75*(-2) + 0.25*1.5 = -1.125.
+    assert abs(x[:, 0].mean() + 1.125) < 0.35
+
+
+def test_infer_precondition_kind_forced():
+    res = ef.infer(_gauss_logp, dim=2, key=jax.random.PRNGKey(4),
+                   precondition_kind="affine", vi_steps=200,
+                   vi_batch=256, num_chains=8, num_warmup=150,
+                   num_samples=300, dtype=DT)
+    d = res.diagnostics
+    assert d["precondition_family"] == "affine"
+    np.testing.assert_allclose(d["mean"], np.asarray(MU), atol=0.2)
+    np.testing.assert_allclose(d["sd"], np.asarray(SD), rtol=0.2)
+
+
+def _hard_bimodal_logp(z):
+    # Far, unequal modes: starved reverse-KL VI collapses HARD here (all
+    # q-mass on one mode), which PSIS k-hat alone cannot see (measured
+    # k-hat -0.04 on a fully-collapsed fit) — the coverage-gap
+    # diagnostic exists for exactly this target class. (Width/distance
+    # chosen so tempered SMC still resolves the 0.70/0.30 mode weights;
+    # sharper/farther variants defeat default-budget SMC too and the
+    # severity score then correctly reports every rung as failed.)
+    x0, x1 = z[..., 0], z[..., 1]
+    m = jnp.logaddexp(
+        jnp.log(0.70) - 0.5 * ((x0 + 3.0) / 0.3) ** 2 - jnp.log(0.3),
+        jnp.log(0.30) - 0.5 * ((x0 - 2.5) / 0.5) ** 2 - jnp.log(0.5)) \
+        - 0.5 * jnp.log(2 * jnp.pi)
+    c = -0.5 * ((x1 - 0.5 * x0) / 0.8) ** 2 \
+        - 0.5 * jnp.log(2 * jnp.pi) - jnp.log(0.8)
+    return m + c
+
+
+def test_infer_escalation_ladder_mechanism():
+    """The ladder itself: on the hard-collapse target with a starved VI
+    budget every reverse-KL rung fails its diagnostics (coverage gap
+    >> 3 nats), so infer must walk past 'elementwise' and end on the
+    SMC-bridge + forward-KL spline rescue — and both modes must be in
+    the draws."""
+    res = ef.infer(_hard_bimodal_logp, dim=2, key=jax.random.PRNGKey(5),
+                   vi_steps=5, vi_batch=128,
+                   whiten_batches=16, whiten_epochs=8,
+                   num_chains=8, num_warmup=150, num_samples=300,
+                   dtype=DT)
+    d = res.diagnostics
+    assert d["precondition_family"] == "smc+spline-whitening", d
+    assert "precondition_coverage_gap" in d
+    x = np.asarray(res.draws, np.float64).reshape(-1, 2)
+    frac_right = float((x[:, 0] > 0).mean())
+    assert 0.12 < frac_right < 0.50, \
+        (f"missed a mode: frac_right {frac_right:.3f}, want ~0.30 "
+         f"(coverage gap {d['precondition_coverage_gap']:.1f})")
