@@ -116,6 +116,8 @@ def optimize_elbo(
     metrics=None,
     use_fused_coupling: bool | None = None,
     stl: bool = False,
+    checkpoint_every: int | None = None,
+    ckpt_dir: str | None = None,
 ) -> VIResult:
     """Fit a flow transport to an unnormalized log-density by ELBO ascent.
 
@@ -132,6 +134,13 @@ def optimize_elbo(
     ``metrics`` (optional ``utils.MetricsLogger``): streams per-step nELBO
     records out of the compiled scan (opt-in; host callback serializes
     with the device stream).
+
+    ``checkpoint_every`` (steps) + ``ckpt_dir``: preemption-safe mode —
+    the step scan runs in ``checkpoint_every``-step jitted chunks
+    through ``utils.resilience.run_checkpointed``; a killed job
+    restarted with the SAME call resumes bit-identically (fresh base
+    draws fold the GLOBAL step index into the key, so the chunk index
+    alone determines the work).
     """
     if optimizer is None:
         optimizer = optax.adagrad(1e-1)
@@ -218,21 +227,49 @@ def optimize_elbo(
             metrics.from_jit(i, nelbo=nelbo)
         return (flow, opt_state), nelbo
 
-    def run_body(flow, opt_state):
-        with jax.named_scope("enflows.train.vi"):
-            (flow, opt_state), hist = lax.scan(
-                step, (flow, opt_state), jnp.arange(nsteps))
-        return flow, opt_state, hist
+    def make_run(ns):
+        def run_body(flow, opt_state, i0):
+            with jax.named_scope("enflows.train.vi"):
+                (flow, opt_state), hist = lax.scan(
+                    step, (flow, opt_state), i0 + jnp.arange(ns))
+            return flow, opt_state, hist
 
-    if sharded_fused:
-        from jax.sharding import PartitionSpec as P
-        run = jax.jit(jax.shard_map(
-            run_body, mesh=mesh, in_specs=(P(), P()),
-            out_specs=(P(), P(), P()), check_vma=False))
+        if sharded_fused:
+            from jax.sharding import PartitionSpec as P
+            return jax.jit(jax.shard_map(
+                run_body, mesh=mesh, in_specs=(P(), P(), P()),
+                out_specs=(P(), P(), P()), check_vma=False))
+        return jax.jit(run_body)
+
+    if checkpoint_every or ckpt_dir:
+        # Preemption-safe VI (VERDICT r4 next #5) — see
+        # optimize_whitening; the RNG key folds the GLOBAL step index,
+        # so chunked and unchunked runs draw identical MC batches.
+        from ..utils.resilience import run_checkpointed
+
+        chunk = int(checkpoint_every or 1)
+        n_chunks = -(-nsteps // chunk)
+        runs = {}
+
+        def chunk_fn(state, ci):
+            flow, opt_state, hist = state
+            ns = min(chunk, nsteps - ci * chunk)
+            if ns not in runs:
+                runs[ns] = make_run(ns)
+            flow, opt_state, h = runs[ns](
+                flow, opt_state, jnp.asarray(ci * chunk, jnp.int32))
+            hist = jax.lax.dynamic_update_slice(
+                hist, h.astype(hist.dtype),
+                (jnp.asarray(ci * chunk),))
+            return (flow, opt_state, hist)
+
+        hist0 = jnp.zeros((nsteps,), dtype)
+        (flow, opt_state, hist), _ = run_checkpointed(
+            chunk_fn, (initial_flow, opt_state, hist0), n_chunks,
+            ckpt_dir=ckpt_dir, checkpoint_every=1)
     else:
-        run = jax.jit(run_body)
-
-    flow, opt_state, hist = run(initial_flow, opt_state)
+        flow, opt_state, hist = make_run(nsteps)(
+            initial_flow, opt_state, jnp.asarray(0, jnp.int32))
     if nelbo_history is not None:
         hist = jnp.concatenate([jnp.asarray(nelbo_history), hist])
     return VIResult(flow, opt_state, hist)

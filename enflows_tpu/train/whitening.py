@@ -126,6 +126,8 @@ def optimize_whitening(
     batch_axis: str = "batch",
     use_fused: bool | str | None = None,
     metrics=None,
+    checkpoint_every: int | None = None,
+    ckpt_dir: str | None = None,
 ) -> WhiteningResult:
     """Fit ``initial_flow`` so that it whitens ``samples``.
 
@@ -141,6 +143,13 @@ def optimize_whitening(
     records out of the compiled scan via ``jax.debug.callback`` (SURVEY.md
     §5 metrics row). Opt-in because the host callback serializes with the
     device stream — leave None in throughput-critical runs.
+
+    ``checkpoint_every`` (epochs) + ``ckpt_dir``: preemption-safe mode —
+    the epoch scan runs in ``checkpoint_every``-epoch jitted chunks
+    through ``utils.resilience.run_checkpointed``, saving (flow,
+    opt_state, history) at every chunk boundary; a killed job restarted
+    with the SAME call resumes from the last checkpoint bit-identically
+    (tests/test_resilience.py::test_trainer_kill_resume_bit_equivalence).
     """
     if optimizer is None:
         optimizer = optax.adagrad(1e-1)
@@ -241,39 +250,81 @@ def optimize_whitening(
             metrics.from_jit(i, negll=negll)
             return carry, negll
 
-    def run_body(flow, opt_state, batches):
-        def epoch(carry, e):
-            if metrics is None:
-                carry, neglls = lax.scan(step, carry, batches)
-            else:
-                idx = e * nbatches + jnp.arange(nbatches)
-                carry, neglls = lax.scan(step, carry, (idx, batches))
-            return carry, neglls
+    def make_run(ne):
+        """Jitted scan over ``ne`` epochs starting at (traced) epoch
+        index e0 — e0 only matters for metrics step labels and lets the
+        checkpointed chunks share one compiled executable."""
 
-        with jax.named_scope("enflows.train.whitening"):
-            (flow, opt_state), neglls = lax.scan(
-                epoch, (flow, opt_state), jnp.arange(nepochs))
-        return flow, opt_state, neglls.reshape(-1)
+        def run_body(flow, opt_state, e0, batches):
+            def epoch(carry, e):
+                if metrics is None:
+                    carry, neglls = lax.scan(step, carry, batches)
+                else:
+                    idx = e * nbatches + jnp.arange(nbatches)
+                    carry, neglls = lax.scan(step, carry, (idx, batches))
+                return carry, neglls
 
+            with jax.named_scope("enflows.train.whitening"):
+                (flow, opt_state), neglls = lax.scan(
+                    epoch, (flow, opt_state), e0 + jnp.arange(ne))
+            return flow, opt_state, neglls.reshape(-1)
+
+        if axis is not None:
+            # Fused kernels under the mesh: each shard scans its LOCAL
+            # batch block through the pallas kernel; consensus is the
+            # pmean inside `step`. The packed layout is row-major
+            # (sample-major), so a contiguous split of the flat
+            # (batch_size * dp) axis IS a batch shard; the coupling path
+            # shards the (batch, dim) rows directly.
+            return jax.jit(jax.shard_map(
+                run_body, mesh=mesh, in_specs=(P(), P(), P(), bspec),
+                out_specs=(P(), P(), P()), check_vma=False))
+        return jax.jit(run_body)
+
+    bspec = None
     if axis is not None:
-        # Fused kernels under the mesh: each shard scans its LOCAL batch
-        # block through the pallas kernel; consensus is the pmean inside
-        # `step`. The packed layout is row-major (sample-major), so a
-        # contiguous split of the flat (batch_size * dp) axis IS a batch
-        # shard; the coupling path shards the (batch, dim) rows directly.
         bspec = P(None, batch_axis) if use_fused \
             else P(None, batch_axis, None)
-        run = jax.jit(jax.shard_map(
-            run_body, mesh=mesh, in_specs=(P(), P(), bspec),
-            out_specs=(P(), P(), P()), check_vma=False))
         batches = jax.device_put(batches, NamedSharding(mesh, bspec))
-    else:
-        run = jax.jit(run_body)
-        if mesh is not None:
-            batches = jax.device_put(
-                batches, NamedSharding(mesh, P(None, batch_axis, None)))
+    elif mesh is not None:
+        batches = jax.device_put(
+            batches, NamedSharding(mesh, P(None, batch_axis, None)))
 
-    flow, opt_state, neglls = run(initial_flow, opt_state, batches)
+    if checkpoint_every or ckpt_dir:
+        # Preemption-safe training (VERDICT r4 next #5): the epoch scan
+        # is chunked into ``checkpoint_every``-epoch jitted blocks driven
+        # through ``utils.resilience.run_checkpointed`` — a killed job
+        # restarted with the same arguments resumes from the last chunk
+        # boundary BIT-IDENTICALLY (whitening has no RNG; the chunk
+        # index alone determines the work). The per-step history lives
+        # in a fixed-shape array inside the checkpointed state.
+        from ..utils.resilience import run_checkpointed
+
+        chunk = int(checkpoint_every or 1)
+        n_chunks = -(-nepochs // chunk)
+        runs = {}
+
+        def chunk_fn(state, ci):
+            flow, opt_state, hist = state
+            ne = min(chunk, nepochs - ci * chunk)
+            if ne not in runs:
+                runs[ne] = make_run(ne)
+            flow, opt_state, neglls = runs[ne](
+                flow, opt_state, jnp.asarray(ci * chunk, jnp.int32),
+                batches)
+            hist = lax.dynamic_update_slice(
+                hist, neglls.astype(hist.dtype),
+                (jnp.asarray(ci * chunk * nbatches),))
+            return (flow, opt_state, hist)
+
+        hist0 = jnp.zeros((nepochs * nbatches,), samples.dtype)
+        state, _ = run_checkpointed(
+            chunk_fn, (initial_flow, opt_state, hist0), n_chunks,
+            ckpt_dir=ckpt_dir, checkpoint_every=1)
+        flow, opt_state, neglls = state
+    else:
+        flow, opt_state, neglls = make_run(nepochs)(
+            initial_flow, opt_state, jnp.asarray(0, jnp.int32), batches)
     if negll_history is not None:
         neglls = jnp.concatenate([jnp.asarray(negll_history), neglls])
     return WhiteningResult(flow, opt_state, neglls)
