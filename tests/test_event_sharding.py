@@ -36,6 +36,10 @@ def test_event_sharded_matches_local():
                                rtol=1e-12)
     np.testing.assert_allclose(np.asarray(l_sh), np.asarray(l_ref),
                                rtol=1e-12)
+    # check_vma=False declares the psum'd per-sample ladj replicated over
+    # the dim axis; machine-check it (VERDICT r4 next #6).
+    from enflows_tpu.utils import assert_replicated_consistent
+    assert_replicated_consistent(l_sh, "event_sharded.ladj")
 
 
 def test_2d_mesh_negll_and_grads_match_local():

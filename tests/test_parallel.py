@@ -118,6 +118,14 @@ def test_sharded_smc_matches_single_device(mesh):
         assert abs(float(lz) - true_logz) < 0.15
     # Comparable temperature ladders.
     assert abs(len(inf1) - len(inf2)) <= 3
+    # Machine-check the check_vma=False replication promise on the
+    # sharded run's consensus outputs (VERDICT r4 next #6).
+    from enflows_tpu.utils import assert_replicated_consistent
+    assert_replicated_consistent(lz2, "smc.log_z")
+    for name, val in [("beta", getattr(inf2[-1], "beta", None)),
+                      ("step_size", getattr(inf2[-1], "step_size", None))]:
+        if val is not None:
+            assert_replicated_consistent(jnp.asarray(val), f"smc.{name}")
 
 
 def test_sharded_smc_same_key_trajectory_equivalence(mesh):
@@ -263,6 +271,12 @@ def test_sharded_mcmc_shard_map_vs_spmd_vs_unsharded(mesh):
                                rtol=1e-12)
     # Layout: chains axis really sharded by the explicit path.
     assert d_e.sharding.spec[0] == "chains"
+    # check_vma=False declares the consensus outputs replicated without
+    # the static checker; machine-check the dynamic guarantee the module
+    # comment promises (VERDICT r4 next #6): every shard bit-identical.
+    from enflows_tpu.utils import assert_replicated_consistent
+    assert_replicated_consistent(st_e.step_size, "nuts.step_size")
+    assert_replicated_consistent(st_e.inv_mass_diag, "nuts.inv_mass")
 
 
 def test_sharded_chees_moments(mesh):
