@@ -304,6 +304,20 @@ def run_chains_chees(logdensity_fn: Callable, states: HMCState, key,
     return jnp.swapaxes(qs, 0, 1), states, stats
 
 
+# Fused-vg auto-route boundary in chains*dim ELEMENTS. Round 4 set
+# 1<<17 from 3 coarse points (0.70x/1.06x/1.29x at 128/2048/8192 chains
+# x 50D); the round-5 systematic sweep (benchmarks/bench_chees_sweep.py:
+# full warmup+sampling wall, best-of-3, route forced on/off, 4 chain
+# counts x 3 dims x two chain depths) measured 0.70-1.11x with NO
+# reliably-winning cell — the 1.29x did not reproduce even at round 4's
+# exact config (0.92x). Auto-routing is therefore DISABLED (sentinel
+# below); the route itself stays available, correct and oracle-gated
+# (set this constant to re-enable, e.g. on future multi-chip or
+# heavier-chain regimes). BASELINE.md "ChEES fused-route crossover"
+# carries the sweep table.
+CHEES_VG_MIN_ELEMENTS = 1 << 62
+
+
 @partial(jax.jit, static_argnames=("logdensity_fn", "num_warmup",
                                    "num_samples", "num_chains", "dim",
                                    "max_num_steps"))
@@ -311,20 +325,17 @@ def _chees_impl(logdensity_fn, key, initial_position, *, num_warmup,
                 num_samples, num_chains, dim, max_num_steps,
                 initial_step_size, target_accept):
     k_init, k_warm, k_samp = jax.random.split(key, 3)
-    # Targets declaring flow-pushforward structure get the fused Pallas
-    # gradient route (mcmc.logdensity.FlowPushforwardTarget.
-    # batched_value_and_grad) — ChEES is gradient-RATE-bound (the whole
-    # of its measured advantage over NUTS, BASELINE.md lockstep
-    # decomposition), so this is the sampler where a faster batched
-    # gradient pays. Measured A/B on the 50D fusible target: 0.70x at
-    # 128 chains (launch overhead), 1.06x at 2048, **1.29x at 8192** —
-    # auto-route only above the measured crossover, TPU-only
+    # Targets declaring flow-pushforward structure CAN take the fused
+    # Pallas gradient route (mcmc.logdensity.FlowPushforwardTarget.
+    # batched_value_and_grad). The round-5 sweep measured it at/below
+    # parity across the whole grid (see CHEES_VG_MIN_ELEMENTS above),
+    # so auto-routing is off by default; the gate stays TPU-only
     # (interpret-mode pallas would crawl on CPU).
     n_chains = initial_position.shape[0]
     vg_builder = getattr(logdensity_fn, "batched_value_and_grad", None)
     vg_fn = (vg_builder(dim, initial_position.dtype)
              if vg_builder is not None
-             and n_chains * dim >= (1 << 17)
+             and n_chains * dim >= CHEES_VG_MIN_ELEMENTS
              and jax.default_backend() == "tpu" else None)
     states = jax.vmap(lambda q: init_state(logdensity_fn, q))(
         initial_position)
