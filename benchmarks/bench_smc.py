@@ -43,24 +43,32 @@ def bench_2d(num_particles=65536):
                num_particles=num_particles)
 
     def run(seed):
-        t0 = time.time()
-        parts, lw, logz, infos = smc_sample(
-            log_target, jax.random.PRNGKey(seed), dim=2,
-            num_particles=num_particles)
-        jax.block_until_ready(parts)
-        dt = time.time() - t0
-        err = abs(float(logz) - true_logz)
-        assert err < 0.2, "correctness gate failed"
-        return num_particles * len(infos) / dt, len(infos), err
+        # Best-of-2 per seed: the 2D run is short (~100 ms), so a single
+        # wall sample folds in host/tunnel dispatch stalls — the source
+        # of the round-4 row's 2.23x spread (VERDICT r4 next #4).
+        best_dt, ln, err = float("inf"), 0, 0.0
+        for _ in range(2):
+            t0 = time.time()
+            parts, lw, logz, infos = smc_sample(
+                log_target, jax.random.PRNGKey(seed), dim=2,
+                num_particles=num_particles)
+            jax.block_until_ready(parts)
+            dt = time.time() - t0
+            e = abs(float(logz) - true_logz)
+            assert e < 0.2, "correctness gate failed"
+            if dt < best_dt:
+                best_dt, ln, err = dt, len(infos), e
+        return num_particles * ln / best_dt, ln, err
 
-    vals = sorted(run(seed) for seed in range(3))
+    vals = sorted(run(seed) for seed in range(9))
+    med = vals[len(vals) // 2]
     spread = vals[-1][0] / vals[0][0] if vals[0][0] > 0 else float("inf")
-    print(f"[smc-2d] {num_particles} particles, {vals[1][1]} temps, "
-          f"median {vals[1][0]/1e6:.2f}M particle-temps/s "
-          f"(spread {spread:.2f}x), logZ err {vals[1][2]:.3f}",
+    print(f"[smc-2d] {num_particles} particles, {med[1]} temps, "
+          f"median {med[0]/1e6:.2f}M particle-temps/s "
+          f"(spread {spread:.2f}x over 9 seeds), logZ err {med[2]:.3f}",
           file=sys.stderr)
-    return {"n_runs": 3, "min": round(vals[0][0]),
-            "median": round(vals[1][0]), "max": round(vals[-1][0]),
+    return {"n_runs": len(vals), "min": round(vals[0][0]),
+            "median": round(med[0]), "max": round(vals[-1][0]),
             "spread": round(spread, 2)}
 
 
