@@ -15,6 +15,7 @@ from .fused_hmc import fused_flow_hmc_sample, FusedHMCStats
 from .diagnostics import (
     ess, ess_per_dim, split_rhat, split_rhat_per_dim, bfmi,
     rank_normalized_rhat, rank_normalized_rhat_per_dim, bulk_ess, tail_ess,
+    pareto_khat,
 )
 
 __all__ = [
@@ -29,5 +30,5 @@ __all__ = [
     "hmc_proposal_kernel", "ChEESWarmupResult", "ChEESSampleStats",
     "ess", "ess_per_dim", "split_rhat", "split_rhat_per_dim", "bfmi",
     "rank_normalized_rhat", "rank_normalized_rhat_per_dim",
-    "bulk_ess", "tail_ess",
+    "bulk_ess", "tail_ess", "pareto_khat",
 ]

@@ -94,10 +94,18 @@ _TILE_CANDIDATES = (1024, 512, 256, 128, 64)
 _VMEM_BUDGET = 14 * (1 << 20)
 
 
-def _pick_tile(flat_params, dim, static_plan=None) -> int | None:
-    """Largest candidate tile whose resident weights + a few live
-    (tile, max_width) activation buffers fit the VMEM budget; None when
-    the weights alone do not fit (chain too large — jnp fallback).
+def _pick_tile(flat_params, dim, static_plan=None):
+    """(tile, vmem_limit_bytes | None) for the forward kernel, or None
+    when the chain is out of reach (jnp fallback).
+
+    Tier 1: largest candidate tile whose resident weights + a few live
+    (tile, max_width) activation buffers fit the default scoped-VMEM
+    budget (vmem_limit None = Mosaic default). Tier 2 (round 5): chains
+    whose WEIGHTS alone exceed the 16MB default — where XLA must
+    re-stream them from HBM per batch tile — retry under the raised
+    vmem limit (the v5e has 128MB; measured 1.21x on a 4x(1024,1024)
+    conditioner stack — 17.5MB of weights — vs the jnp path that was
+    previously the only option).
 
     Spline items add a per-row scoped-stack term: the epilogue's
     accumulators and loop temps are (tile, da) slabs LANE-PADDED to 128,
@@ -121,7 +129,12 @@ def _pick_tile(flat_params, dim, static_plan=None) -> int | None:
     for tile in _TILE_CANDIDATES:
         if wbytes + tile * maxw * 4 * 4 <= _VMEM_BUDGET \
                 and tile * stack_row <= _VMEM_BUDGET:
-            return tile
+            return tile, None
+    big_budget = 80 * (1 << 20)
+    for tile in _TILE_CANDIDATES:
+        if wbytes + tile * maxw * 4 * 4 <= big_budget \
+                and tile * stack_row <= big_budget:
+            return tile, _BWD_VMEM_LIMIT
     return None
 
 
@@ -632,7 +645,7 @@ def _fused_coupling_bwd_impl(static, x, gy, gl, flat_params):
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _fused_coupling_impl(static, x, flat_params):
-    static_plan, dim, tile = static
+    static_plan, dim, (tile, vmem_limit) = static
     da = dim // 2
     dtype = x.dtype
     n = x.shape[0]
@@ -653,6 +666,10 @@ def _fused_coupling_impl(static, x, flat_params):
                      memory_space=pltpu.VMEM),
     )
     kernel = _build_coupling_kernel(static_plan, dim, da)
+    kw = {}
+    if vmem_limit is not None:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit)
     y, ladj = pl.pallas_call(
         kernel,
         grid=(n_padded // tile_n,),
@@ -663,6 +680,7 @@ def _fused_coupling_impl(static, x, flat_params):
             jax.ShapeDtypeStruct((n_padded, 1), jnp.float32),
         ),
         interpret=jax.default_backend() == "cpu",
+        **kw,
     )(xp, *flat_params)
     return y[:n], ladj[:n, 0].astype(dtype)
 
@@ -672,10 +690,10 @@ def _fused_coupling_op(dim, chain, x, physical_order):
     with jax.ensure_compile_time_eval():
         planned = _stack_plan(chain, dim)
     static_plan, flat_params, out_map = planned
-    tile = _pick_tile(flat_params, dim, static_plan)
-    if tile is None:           # weights exceed VMEM — jnp fallback
+    picked = _pick_tile(flat_params, dim, static_plan)
+    if picked is None:         # weights exceed VMEM — jnp fallback
         return chain.forward_and_ladj(x)
-    y_phys, ladj = _fused_coupling_impl((static_plan, dim, tile), x,
+    y_phys, ladj = _fused_coupling_impl((static_plan, dim, picked), x,
                                         flat_params)
     if physical_order or list(out_map) == list(range(dim)):
         return y_phys, ladj

@@ -284,3 +284,36 @@ def test_vi_trainer_coupling_dispatch_runs():
                           jnp.float32))
     np.testing.assert_allclose(np.asarray(z).mean(0), np.asarray(mean),
                                atol=0.15)
+
+
+def test_pick_tile_big_weights_second_tier():
+    """Chains whose weights exceed the default scoped-VMEM budget get the
+    raised-vmem tier (round 5) instead of the jnp fallback; truly huge
+    chains still decline."""
+    import numpy as np
+    from enflows_tpu.ops.pallas.coupling import (_pick_tile, _stack_plan,
+                                                 _VMEM_BUDGET)
+
+    big = coupling_stack(jax.random.PRNGKey(0), 64, n_layers=4,
+                         hidden=(1024, 1024))
+    with jax.ensure_compile_time_eval():
+        plan, params, _ = _stack_plan(big, 64)
+        wbytes = sum(int(np.prod(p.shape)) * 4 for p in params)
+        assert wbytes > _VMEM_BUDGET          # really is a tier-2 case
+        picked = _pick_tile(params, 64, plan)
+    assert picked is not None
+    tile, vmem = picked
+    assert tile >= 64 and vmem is not None    # raised-limit tier
+
+    small = coupling_stack(jax.random.PRNGKey(0), 8, n_layers=2,
+                           hidden=(16, 16))
+    with jax.ensure_compile_time_eval():
+        plan_s, params_s, _ = _stack_plan(small, 8)
+        tile_s, vmem_s = _pick_tile(params_s, 8, plan_s)
+    assert vmem_s is None                     # default tier unchanged
+
+    huge = coupling_stack(jax.random.PRNGKey(0), 64, n_layers=6,
+                          hidden=(2048, 2048))
+    with jax.ensure_compile_time_eval():
+        plan_h, params_h, _ = _stack_plan(huge, 64)
+        assert _pick_tile(params_h, 64, plan_h) is None
