@@ -55,18 +55,34 @@ def cmd_train(cfg):
                                     xi=vec(10.0), lam=vec(1.0)))
             X = truth.forward(jax.random.normal(key, (10**5, d),
                                                 jnp.dtype(cfg.flow.dtype)))
+        ck = {}
+        if cfg.train.checkpoint_every:
+            # Preemption-safe mode: chunked scans checkpointed under a
+            # 'train/' subdir (the final flow snapshot below keeps its
+            # own step numbering in the parent dir).
+            import os as _os
+            ck = dict(checkpoint_every=cfg.train.checkpoint_every,
+                      ckpt_dir=_os.path.join(cfg.checkpoint_dir, "train")
+                      if cfg.checkpoint_dir else None)
         res = optimize_whitening(X, flow, opt, nbatches=cfg.train.nbatches,
                                  nepochs=cfg.train.nepochs,
-                                 mesh=_mesh_from_cfg(cfg), metrics=log)
+                                 mesh=_mesh_from_cfg(cfg), metrics=log,
+                                 **ck)
         hist = res.negll_history
     else:
         from .distributions import std_normal_logpdf_sum
+        ck = {}
+        if cfg.train.checkpoint_every:
+            import os as _os
+            ck = dict(checkpoint_every=cfg.train.checkpoint_every,
+                      ckpt_dir=_os.path.join(cfg.checkpoint_dir, "train")
+                      if cfg.checkpoint_dir else None)
         res = optimize_elbo(lambda z: std_normal_logpdf_sum(z), flow, opt,
                             dim=cfg.flow.dim,
                             batch_size=cfg.train.batch_size,
                             nsteps=cfg.train.nsteps,
                             antithetic=cfg.train.antithetic, key=key,
-                            stl=cfg.train.stl, metrics=log)
+                            stl=cfg.train.stl, metrics=log, **ck)
         hist = res.nelbo_history
 
     if log is not None:
@@ -166,8 +182,13 @@ def cmd_infer(cfg):
                     num_chains=cfg.sampler.num_chains,
                     num_warmup=cfg.sampler.num_warmup,
                     num_samples=cfg.sampler.num_samples,
+                    precondition_kind=cfg.sampler.precondition_kind,
                     vi_steps=cfg.train.nsteps, dtype=dt)
     d = res.diagnostics
+    if "precondition_family" in d:
+        print(f"precondition: family={d['precondition_family']} "
+              f"khat={d['precondition_khat']:.2f} "
+              f"coverage_gap={d['precondition_coverage_gap']:.2f}")
     if "log_z" in d:
         print(f"smc: logZ={d['log_z']:.4f} "
               f"weight_ess={d['weight_ess']:.0f} "

@@ -42,6 +42,7 @@ class TrainConfig:
     nsteps: int = 1000               # ELBO path
     antithetic: bool = True
     stl: bool = False                # sticking-the-landing VI gradients
+    checkpoint_every: Optional[int] = None  # preemption-safe chunked scans
     seed: int = 0
 
 
@@ -57,6 +58,9 @@ class SamplerConfig:
     num_particles: int = 8192        # smc
     mutation_steps: int = 5
     ess_target: float = 0.5
+    # infer() transport family: auto | elementwise | affine | spline
+    # (auto = the k-hat/coverage-gap escalation ladder)
+    precondition_kind: str = "auto"
     seed: int = 0
 
 

@@ -440,3 +440,32 @@ def test_trace_shows_smc_named_regions(tmp_path):
             blob += raw
     for scope in (b"enflows.smc", b"enflows.smc.mutate"):
         assert scope in blob, f"missing {scope} in captured trace"
+
+
+def test_cli_round5_flags(tmp_path, capsys):
+    """Round-5 CLI reach: --train.checkpoint_every drives the
+    preemption-safe chunked trainer (checkpoints land under
+    <checkpoint_dir>/train), and --sampler.precondition_kind pins the
+    infer() transport family (reported in the printed diagnostics)."""
+    import os
+    from enflows_tpu.cli import main
+
+    ck = tmp_path / "ck"
+    rc = main(["train", "--flow.dim=1", "--train.nbatches=4",
+               "--train.nepochs=4", "--train.checkpoint_every=2",
+               f"--checkpoint_dir={ck}"])
+    assert rc == 0
+    assert os.path.isdir(ck / "train") and any((ck / "train").iterdir())
+
+    mod = tmp_path / "t.py"
+    mod.write_text(
+        "import jax.numpy as jnp\n"
+        "def logp(q):\n"
+        "    return -0.5 * jnp.sum((q - 1.0) ** 2)\n")
+    rc = main(["infer", "--target", f"{mod}:logp", "--flow.dim=2",
+               "--sampler.precondition_kind=affine",
+               "--sampler.num_warmup=100", "--sampler.num_samples=100",
+               "--sampler.num_chains=4", "--train.nsteps=100"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "family=affine" in out, out
