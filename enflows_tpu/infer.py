@@ -204,7 +204,9 @@ def _transport_coverage_gap(logdensity_fn: Callable, flow: Bijector,
     log_q = std_normal_logpdf_sum(xi) - ladj
     logp = jax.vmap(logdensity_fn)(z)
     w = jax.nn.softmax(logp - log_r)
-    ri = log_q - logp
+    # Probe points where the target is -inf (bounded support) carry zero
+    # p-mass; mask ri there rather than evaluating 0 * inf -> NaN.
+    ri = jnp.where(w > 0.0, log_q - logp, 0.0)
     mean = jnp.sum(w * ri)
     return float(jnp.sqrt(jnp.sum(w * (ri - mean) ** 2)))
 

@@ -130,6 +130,12 @@ def optimize_elbo(
     the cost of one extra inverse pass per step. The ``nelbo_history``
     (and streamed metrics) always record the STANDARD nELBO scale, so
     histories are step-for-step comparable across the two estimators.
+    Caveat (measured): FAR from convergence the STL gradient can be
+    larger than the standard one — on a spline-coupling transport at
+    adagrad(0.1) the STL run diverged to NaN by step 4 where the
+    standard estimator trained fine; at adagrad(0.02) both converge to
+    the same nELBO. Prefer STL for REFINEMENT (warm starts, late
+    training) or drop the learning rate when enabling it cold.
 
     ``metrics`` (optional ``utils.MetricsLogger``): streams per-step nELBO
     records out of the compiled scan (opt-in; host callback serializes
