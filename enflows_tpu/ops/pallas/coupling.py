@@ -414,6 +414,39 @@ def _spline_slab_epilogue(x, h, da, K, bound, inverted):
     return y, jnp.sum(ladj, axis=1, keepdims=True)
 
 
+@jax.custom_vjp
+def _mm_bf16(h, W):
+    """bf16-operand matmul whose BACKWARD also runs bf16 matmuls.
+
+    jax's AD transpose of ``dot(h.astype(bf16), W.astype(bf16))`` feeds
+    the f32 cotangent straight into the transposed dots, which Mosaic
+    runs at the f32 rate — measured: the fused bf16-conditioner train
+    step was no faster than its f32 twin (12.7 vs 12.5 ms) while XLA's
+    std path dropped 27.9 -> 15.2 ms. Casting the cotangent to bf16
+    (the standard mixed-precision training scheme; same numerics class
+    as the forward's own bf16 pass) recovers the MXU rate in the
+    backward kernel too."""
+    return jax.lax.dot(h.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+
+def _mm_bf16_fwd(h, W):
+    return _mm_bf16(h, W), (h, W)
+
+
+def _mm_bf16_bwd(res, g):
+    h, W = res
+    g16 = g.astype(jnp.bfloat16)
+    dh = jax.lax.dot(g16, W.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)
+    dW = jax.lax.dot(h.astype(jnp.bfloat16).T, g16,
+                     preferred_element_type=jnp.float32)
+    return dh.astype(h.dtype), dW.astype(W.dtype)
+
+
+_mm_bf16.defvjp(_mm_bf16_fwd, _mm_bf16_bwd)
+
+
 def _tile_apply(static_plan, da, x, params):
     """Pure-function body of the fused kernel on one (tile, dim) block:
     (y_phys, ladj_row), both f32. Shared by the forward kernel and the
@@ -434,14 +467,11 @@ def _tile_apply(static_plan, da, x, params):
                 b = params[pi + 1].astype(jnp.float32)
                 pi += 2
                 if cdt == "bfloat16":
-                    hm = h.astype(jnp.bfloat16)
-                    Wm = W.astype(jnp.bfloat16)
+                    h = _mm_bf16(h, W) + b
                 else:
-                    hm = h
-                    Wm = W.astype(jnp.float32)
-                h = jax.lax.dot(
-                    hm, Wm,
-                    preferred_element_type=jnp.float32) + b
+                    h = jax.lax.dot(
+                        h, W.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) + b
                 if li + 1 < n_layers:
                     h = act(h)
             tgt = hb if src == 0 else ha
