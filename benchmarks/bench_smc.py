@@ -119,25 +119,32 @@ def bench_100d(num_particles=32768):
                num_particles=num_particles, mutation_steps=8)  # warm
 
     def run(seed):
-        t0 = time.time()
-        parts, lw, logz, infos = smc_sample(
-            log_target, jax.random.PRNGKey(seed), dim=dim,
-            num_particles=num_particles, mutation_steps=8)
-        jax.block_until_ready(parts)
-        dt = time.time() - t0
-        w = np.asarray(jax.nn.softmax(lw))
-        frac = float((w * (np.asarray(parts)[:, 0] > 0)).sum())
-        err = abs(float(logz) - true_logz)
-        return num_particles * len(infos) / dt, frac, err
+        # Best-of-2 wall per seed (same rationale as bench_2d).
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            parts, lw, logz, infos = smc_sample(
+                log_target, jax.random.PRNGKey(seed), dim=dim,
+                num_particles=num_particles, mutation_steps=8)
+            jax.block_until_ready(parts)
+            dt = time.time() - t0
+            w = np.asarray(jax.nn.softmax(lw))
+            frac = float((w * (np.asarray(parts)[:, 0] > 0)).sum())
+            err = abs(float(logz) - true_logz)
+            rate = num_particles * len(infos) / dt
+            if best is None or rate > best[0]:
+                best = (rate, frac, err)
+        return best
 
-    vals = sorted(run(seed) for seed in range(3))
+    vals = sorted(run(seed) for seed in range(5))
+    med = vals[len(vals) // 2]
     spread = vals[-1][0] / vals[0][0] if vals[0][0] > 0 else float("inf")
     print(f"[smc-100d] {num_particles} particles: median "
-          f"{vals[1][0]/1e6:.2f}M particle-temps/s (spread {spread:.2f}x)"
-          f", mode frac {vals[1][1]:.3f}, logZ err {vals[1][2]:.2f}",
+          f"{med[0]/1e6:.2f}M particle-temps/s (spread {spread:.2f}x "
+          f"over 5 seeds), mode frac {med[1]:.3f}, logZ err {med[2]:.2f}",
           file=sys.stderr)
-    return {"n_runs": 3, "min": round(vals[0][0]),
-            "median": round(vals[1][0]), "max": round(vals[-1][0]),
+    return {"n_runs": len(vals), "min": round(vals[0][0]),
+            "median": round(med[0]), "max": round(vals[-1][0]),
             "spread": round(spread, 2)}
 
 
