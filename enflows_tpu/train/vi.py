@@ -38,9 +38,11 @@ def neg_elbo(flow: Bijector, logdensity_fn: Callable, xi: jax.Array,
     with the corrected entropy term. ``use_fused_coupling`` routes the
     batched forward+ladj through the fused whole-stack coupling kernel
     (ops.pallas.coupling — logical lane order preserved because z feeds
-    an arbitrary user log density); selected by ``optimize_elbo`` for
-    unsharded coupling-stack transports (a pallas_call does not
-    partition over a mesh, so the sharded path stays jnp).
+    an arbitrary user log density); selected by ``optimize_elbo`` per
+    the measured train-step crossover. Under a mesh the kernel still
+    runs — the whole VI scan executes inside ``jax.shard_map`` with
+    each shard pushing its local MC-batch slice through the kernel
+    (round 5; a pallas_call partitions per shard, not over the mesh).
     """
     if use_fused_coupling:
         from ..ops.pallas.coupling import fused_coupling_forward_and_ladj
