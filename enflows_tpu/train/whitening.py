@@ -193,7 +193,7 @@ def optimize_whitening(
             # Coupling stacks: round 5 replaced the jnp-recompute
             # backward (which made fused TRAINING a measured 0.90x LOSS)
             # with a Pallas recompute-in-VMEM backward; the fused train
-            # step now wins 2.23x (affine) / 1.15x (spline) at the
+            # step now wins 2.23x (affine) / 1.28x (spline) at the
             # BASELINE config, with measured crossovers encoded in
             # coupling_train_dispatch_min_elements (VERDICT r4 next #2).
             from ..ops.pallas.coupling import (
