@@ -293,9 +293,10 @@ def coupling_train_dispatch_min_elements(chain: Bijector) -> int:
     2026-08-21, BASELINE config d=64, 4x(512,512)):
 
     affine: 0.62x/0.98x/1.63x/1.96x/2.23x at 16K/1M/2M/4M/8M elements
-    -> threshold 2^21. spline (K=8): 0.58x/0.98x/1.15x at 1M/4M/8M
-    -> threshold 2^23 (the epilogue-vjp-heavy backward only amortizes
-    at north-star batches)."""
+    -> threshold 2^21. spline (K=8): 0.58x/0.98x/1.28x at 1M/4M/8M
+    (8M row re-measured after the wide-block epilogue; the narrow form
+    measured 1.15x) -> threshold 2^23 (the epilogue-vjp-heavy backward
+    only amortizes at north-star batches)."""
     stages = chain.stages if isinstance(chain, Chain) else (chain,)
     if any(isinstance(s, RQSplineCoupling) for s in stages):
         return 1 << 23
